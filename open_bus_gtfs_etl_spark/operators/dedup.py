@@ -1,0 +1,102 @@
+"""Last-writer-wins deduplication — the core CDC dedup (SURVEY.md W4).
+
+Reference semantics: re-running a day's load overwrites tracked columns
+with the newest file's values, so the later writer wins per natural key
+(load_stops_to_db.py:56-61, load_routes_to_db.py:48-56,
+load_stop_times_to_db.py:130-137). The CDC generalization orders by
+``(lsn, ts)`` and must dedup BEFORE the insert/update/delete branch
+split so that a delete beats an older update but loses to a newer one
+(SURVEY.md §7 hard parts, "deletes + LWW interplay").
+
+Three equivalent implementations, chosen for scale behavior:
+
+- ``lww_dedup_agg`` (default): ``groupBy(keys).agg(max_by(struct(...),
+  struct(lsn, ts)))``. Hash aggregation with MAP-SIDE PARTIAL COMBINE —
+  each input partition reduces hot keys locally before the shuffle, so
+  a conversation receiving 10^6 updates in one batch ships ~one row per
+  upstream partition instead of 10^6 rows to one reducer. This is the
+  built-in answer to key skew and the reason agg beats window-rank at
+  scale (window requires a full shuffle + sort with no partial reduce).
+
+- ``lww_dedup_window``: the literal reference semantics —
+  ``row_number() over (partition by key order by lsn desc, ts desc) = 1``.
+  Kept for parity testing and for when the full winning ROW ordering
+  matters.
+
+- ``lww_dedup_salted``: explicit two-phase salted plan (SURVEY.md §7
+  step 5): phase 1 reduces per ``(key, salt)`` — spreading a hot key
+  over ``n_salts`` reducers — phase 2 reduces the ≤ n_salts survivors
+  per key. Property-tested identical to the unsalted plans. With the
+  agg implementation Spark's partial combine already does this
+  implicitly; the explicit form documents the plan and covers engines/
+  configs where partial aggregation is unavailable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ord_struct(lsn_col: str = "lsn", ts_col: str = "ts") -> F.Column:
+    return F.struct(F.col(lsn_col), F.col(ts_col))
+
+
+def lww_dedup_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One winner row per key via max_by — partial-aggregating, skew-robust."""
+    win = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]), _ord_struct(lsn_col, ts_col)
+    ).alias("_w")
+    out = df.groupBy(*key_cols).agg(win)
+    return out.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+
+
+def lww_dedup_window(
+    df: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Reference-literal LWW: rank within key, keep row 1 (W4)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(lsn_col).desc(), F.col(ts_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lww_dedup_salted(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Explicit two-phase salted LWW (hot-key spreading).
+
+    Phase 1 groups by (key, salt) where salt = lsn % n_salts — a hot
+    key's rows land on n_salts distinct reducers. Phase 2 reduces the
+    per-salt winners (≤ n_salts rows per key) to the final winner.
+    """
+    salt = F.pmod(F.col(lsn_col), F.lit(n_salts)).alias("_salt")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload_cols]),
+                _ord_struct(lsn_col, ts_col),
+            ).alias("_w"),
+            F.max(_ord_struct(lsn_col, ts_col)).alias("_ord"),
+        )
+    )
+    phase2 = phase1.groupBy(*key_cols).agg(F.max_by(F.col("_w"), F.col("_ord")).alias("_w"))
+    return phase2.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])

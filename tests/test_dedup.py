@@ -1,0 +1,68 @@
+"""LWW dedup: the three implementations agree and match brute force."""
+
+from __future__ import annotations
+
+from open_bus_gtfs_etl_spark.genlog import generate_events
+from open_bus_gtfs_etl_spark.operators.dedup import (
+    lww_dedup_agg,
+    lww_dedup_salted,
+    lww_dedup_window,
+)
+
+KEYS = ["conv_id", "turn_idx"]
+PAYLOAD = ["role", "text", "tool", "op", "lsn", "ts"]
+
+
+def _norm(rows):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.op, r.lsn, r.ts) for r in rows
+    )
+
+
+def test_implementations_agree(spark):
+    df = generate_events(spark, 5000, n_conv=50, skew_s=1.4, seed=3, dup_rate=0.05)
+    a = _norm(lww_dedup_agg(df, KEYS, PAYLOAD).collect())
+    w = _norm(lww_dedup_window(df, KEYS).select(*KEYS, *PAYLOAD).collect())
+    s = _norm(lww_dedup_salted(df, KEYS, PAYLOAD, n_salts=8).collect())
+    assert a == w == s
+    # exactly one row per key
+    keys = [t[:2] for t in a]
+    assert len(keys) == len(set(keys))
+
+
+def test_winner_is_max_lsn(spark):
+    df = generate_events(spark, 2000, n_conv=20, seed=9, dup_rate=0)
+    pdf = df.toPandas()
+    expected = {}
+    for r in pdf.sort_values(["lsn", "ts"]).itertuples():
+        expected[(r.conv_id, r.turn_idx)] = r.lsn
+    got = {
+        (r.conv_id, r.turn_idx): r.lsn
+        for r in lww_dedup_agg(df, KEYS, PAYLOAD).collect()
+    }
+    assert got == expected
+
+
+def test_delete_kept_in_winner(spark):
+    """Dedup happens BEFORE branch split: the op column survives on the
+    winner so a delete beats an older update and loses to a newer one."""
+    rows = [
+        (1, "insert", "c-1", 0, "user", "v1"),
+        (2, "delete", "c-1", 0, None, None),
+        (3, "insert", "c-2", 0, "user", "v1"),
+        (4, "update", "c-2", 0, "user", "v2"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame(
+            rows, "lsn long, op string, conv_id string, turn_idx int, role string, text string"
+        )
+        .withColumn("ts", F.timestamp_seconds(F.col("lsn")))
+        .withColumn("tool", F.lit(None).cast("string"))
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r.op
+        for r in lww_dedup_agg(df, KEYS, PAYLOAD).collect()
+    }
+    assert got == {("c-1", 0): "delete", ("c-2", 0): "update"}
