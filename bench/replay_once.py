@@ -1,0 +1,105 @@
+"""Run ONE CDC replay at a given parallelism in a fresh process.
+
+Usage: python bench/replay_once.py <cores> <wal_dir> <n_events> <lake_root> [n_buckets] [mode]
+
+mode: "per-segment" (default) replays each WAL segment as its own
+fenced batch; "single-batch" applies the whole WAL as one batch —
+the steady-state unit at 10^10 scale is a ~10^8-event batch, which at
+sandbox scale is the entire generated WAL, so single-batch is the
+representative per-batch throughput measurement.
+Prints one JSON line with elapsed + events/sec. Used by bench.py for
+the two-cluster-size scaling measurement (fresh JVM per level, so JIT
+warm-up and heap state can't leak between levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    wal_dir = sys.argv[2]
+    n_events = int(sys.argv[3])
+    lake_root = sys.argv[4]
+    n_buckets = int(sys.argv[5]) if len(sys.argv) > 5 else cores * 2
+
+    from open_bus_gtfs_etl_spark.operators.merge import replay_wal
+    from open_bus_gtfs_etl_spark.schema import TRANSCRIPTS_SCHEMA
+    from open_bus_gtfs_etl_spark.session import get_spark
+    from open_bus_gtfs_etl_spark.sources.lake import SnapshotParquetTable
+
+    spark = get_spark(
+        app_name=f"replay_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.range(1000).count()
+    # JIT warm-up: run a miniature generate→dedup→merge so the timed
+    # section measures steady-state throughput, not bytecode compilation
+    import tempfile
+
+    from open_bus_gtfs_etl_spark.genlog import generate_events
+    from open_bus_gtfs_etl_spark.operators.merge import apply_batch
+
+    warm_dir = tempfile.mkdtemp(prefix="warm_")
+    warm_tbl = SnapshotParquetTable.create(
+        spark, os.path.join(warm_dir, "lake"), TRANSCRIPTS_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=4,
+    )
+    warm_ev = generate_events(spark, 50_000, n_conv=2_000, seed=7, dup_rate=0.02)
+    apply_batch(warm_tbl, warm_ev.drop("seg"), batch_id=0)
+    apply_batch(warm_tbl, warm_ev.drop("seg").limit(10_000), batch_id=1)
+
+    segs = sorted(
+        {
+            int(d.split("seg=")[1])
+            for ver in ("v1", "v2")
+            if os.path.isdir(os.path.join(wal_dir, ver))
+            for d in os.listdir(os.path.join(wal_dir, ver))
+            if d.startswith("seg=")
+        }
+    )
+    mode = sys.argv[6] if len(sys.argv) > 6 else "per-segment"
+    table = SnapshotParquetTable.create(
+        spark, lake_root, TRANSCRIPTS_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=n_buckets,
+    )
+    if mode == "single-batch":
+        from open_bus_gtfs_etl_spark.genlog import read_wal_segment
+
+        batch = None
+        for seg in segs:
+            p = read_wal_segment(spark, wal_dir, seg)
+            batch = p if batch is None else batch.unionByName(p)
+        t0 = time.time()
+        apply_batch(table, batch, batch_id=0)
+        elapsed = time.time() - t0
+    else:
+        t0 = time.time()
+        replay_wal(spark, table, wal_dir, segs)
+        elapsed = time.time() - t0
+    final_rows = table.read().count()
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "mode": mode,
+                "elapsed_sec": round(elapsed, 3),
+                "events_per_sec": round(n_events / elapsed, 1),
+                "n_segments": len(segs),
+                "final_rows": final_rows,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,13 +48,30 @@ def lww_dedup_agg(
     payload_cols: list[str],
     lsn_col: str = "lsn",
     ts_col: str = "ts",
+    carry_stats: bool = False,
 ) -> DataFrame:
-    """One winner row per key via max_by — partial-aggregating, skew-robust."""
-    win = F.max_by(
-        F.struct(*[F.col(c) for c in payload_cols]), _ord_struct(lsn_col, ts_col)
-    ).alias("_w")
-    out = df.groupBy(*key_cols).agg(win)
-    return out.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+    """One winner row per key via max_by — partial-aggregating, skew-robust.
+
+    ``carry_stats`` adds per-key ``_n_dups`` / ``_lsn_min`` / ``_lsn_max``
+    columns in the SAME aggregation pass, so the merge's lineage counters
+    (batch size, lsn range) come for free instead of re-scanning the batch.
+    """
+    aggs = [
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]), _ord_struct(lsn_col, ts_col)
+        ).alias("_w")
+    ]
+    if carry_stats:
+        aggs += [
+            F.count("*").alias("_n_dups"),
+            F.min(lsn_col).alias("_lsn_min"),
+            F.max(lsn_col).alias("_lsn_max"),
+        ]
+    out = df.groupBy(*key_cols).agg(*aggs)
+    extra = ["_n_dups", "_lsn_min", "_lsn_max"] if carry_stats else []
+    return out.select(
+        *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols], *extra
+    )
 
 
 def lww_dedup_window(

@@ -55,18 +55,15 @@ def apply_batch(
     batch = align_to_schema(batch, table.stored_schema())
     payload = [c for c in value_cols if c != "ts"] + ["op", "lsn", "ts"]
 
-    dedup = lww_dedup_salted if salted else lww_dedup_agg
-    winners = dedup(batch, key_cols, payload, n_salts=n_salts) if salted else dedup(
-        batch, key_cols, payload
-    )
+    if salted:
+        winners = lww_dedup_salted(batch, key_cols, payload, n_salts=n_salts)
+    else:
+        # carry_stats folds batch-size/lsn-range counters into the same
+        # aggregation pass — no second scan of the batch for lineage
+        winners = lww_dedup_agg(batch, key_cols, payload, carry_stats=stats)
 
     st = table.merge(winners, batch_id=batch_id, stats=stats)
     if stats and not st.get("skipped_fenced"):
-        agg = batch.agg(
-            F.count("*").alias("n"),
-            F.min("lsn").alias("lsn_min"),
-            F.max("lsn").alias("lsn_max"),
-        ).collect()[0]
         n_winners = (
             st["rows_inserted"]
             + st["rows_updated"]
@@ -74,9 +71,10 @@ def apply_batch(
             + st["rows_stale_skipped"]
             + st.get("rows_delete_noop", 0)
         )
-        st["rows_deduped"] = agg["n"] - n_winners
-        st["lsn_min"] = agg["lsn_min"]
-        st["lsn_max"] = agg["lsn_max"]
+        if "n_source_rows" in st:
+            st["rows_deduped"] = st["n_source_rows"] - n_winners
+        else:
+            st["rows_deduped"] = None
     return st
 
 

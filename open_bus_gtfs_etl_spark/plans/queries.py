@@ -1,0 +1,942 @@
+"""Driver-contract query catalog: SURVEY.md §2 operators re-expressed
+over the driver testdata (/root/testdata/sf*/), each paired with the
+ANSI-SQL oracle DuckDB runs on the same parquet views.
+
+Naming convention follows the survey inventory: p* projections/filters,
+f* scalar functions, j* joins, a* aggregations, w* windows, m* the
+merge/CDC centerpiece, d*/t*/e* the training-data operators (dedup,
+text analysis, embeddings), s* streaming-shaped analytics.
+
+Determinism rules for the value-hash gate:
+- money/measure aggregates go through DECIMAL casts (exact, order-
+  independent summation) — never raw double sums;
+- ratios divide small exact integers (identical IEEE result in both
+  engines); cosine similarity is rounded to 6 decimals on both sides;
+- collected sets are sorted and joined to a string;
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# P — projections / filters / predicates (SURVEY §2.2, P1-P6)
+# --------------------------------------------------------------------------
+
+def p1_project_filter(spark, sf_dir):
+    """P1+P2: column pruning + pushed-down predicates (reference:
+    load_stops_to_db.py:48-50 projection; :34 date filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+
+
+P1_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS INT) AS qty,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
+"""
+
+
+def p2_null_safe_cast(spark, sf_dir):
+    """P4+F8: cast-with-null-on-failure (reference int() casts with
+    debug policy, load_stop_times_to_db.py:86-110)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_int"),
+        F.when(F.col("value") < 0, None).otherwise(F.col("value")).alias("value_nonneg"),
+    ).where(k.isNotNull())
+
+
+P2_SQL = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       CASE WHEN value < 0 THEN NULL ELSE value END AS value_nonneg
+FROM events
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+"""
+
+
+def p3_topk_limit(spark, sf_dir):
+    """P6+W ordering: deterministic limit (reference --limit debug flag,
+    load_stop_times_to_db.py:75-76, made deterministic by total order)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("total"))
+    )
+
+
+P3_SQL = """
+SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# F — scalar functions (SURVEY §2.7, F1-F13)
+# --------------------------------------------------------------------------
+
+def f1_regexp_extract(spark, sf_dir):
+    """F1 analogue: substring extraction between markers + failure-as-
+    null (reference parse_stop_desc, load_stops_to_db.py:12-18)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_tok"),
+        F.size(F.regexp_extract_all("text", F.lit(r"merge"), 0)).cast("long").alias("n_merge"),
+    )
+
+
+F1_SQL = """
+SELECT doc_id,
+       COALESCE(regexp_extract(text, '^([a-z]+)', 1), '') AS first_tok,
+       CAST(len(regexp_extract_all(text, 'merge')) AS BIGINT) AS n_merge
+FROM documents
+"""
+
+
+def f2_split_part(spark, sf_dir):
+    """F2 analogue: 3-way split with positional extraction (reference
+    route_desc.split('-'), load_routes_to_db.py:41-45)."""
+    p = _t(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.element_at(toks, 1).alias("adjective"),
+        F.element_at(toks, 2).alias("noun"),
+        F.when(F.size(toks) == 2, F.lit("ok")).otherwise(F.lit("bad")).alias("parse_status"),
+    )
+
+
+F2_SQL = """
+SELECT p_partkey,
+       split_part(p_name, ' ', 1) AS adjective,
+       split_part(p_name, ' ', 2) AS noun,
+       CASE WHEN len(string_split(p_name, ' ')) = 2 THEN 'ok' ELSE 'bad' END AS parse_status
+FROM part
+"""
+
+
+def f3_date_arith(spark, sf_dir):
+    """F6+F11+F13: date parse/arithmetic/formatting (reference
+    parse_date_str common.py:33-39; timedelta math idempotent_process.py:101;
+    dated-path templating common.py:51-72)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.date_format("o_orderdate", "yyyy/MM/dd").alias("dated_path"),
+    )
+
+
+F3_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+       strftime(o_orderdate, '%Y/%m/%d') AS dated_path
+FROM orders
+"""
+
+
+def f4_json(spark, sf_dir):
+    """F9: JSON decode + aggregate over extracted field (reference JSON
+    staging rows, load_stop_times_to_db.py:111,126)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+F4_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def f6_sequence_explode(spark, sf_dir):
+    """F12: date/int-range generation + explode (reference
+    iterate_last_dates, idempotent_process.py:20-22)."""
+    r = _t(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.explode(F.sequence(F.lit(0), F.col("r_regionkey"))).alias("i"),
+    ).select("r_regionkey", F.col("i").cast("long").alias("i"))
+
+
+F6_SQL = """
+SELECT r_regionkey, CAST(unnest(generate_series(0, r_regionkey)) AS BIGINT) AS i
+FROM region
+"""
+
+
+def f7_string_funcs(spark, sf_dir):
+    """F5+F7+F10: padding/formatting/concat (reference zfill
+    load_stop_times_to_db.py:27; key concat :120)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+    )
+
+
+F7_SQL = """
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+       concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       upper(c_mktsegment) AS seg_upper
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# J — joins (SURVEY §2.3, J1-J11)
+# --------------------------------------------------------------------------
+
+def j1_merge_branch_split(spark, sf_dir):
+    """J1/M1: the MERGE matched/not-matched split as a left join +
+    outcome counter (reference upsert branch, load_stops_to_db.py:55-72)."""
+    o = _t(spark, sf_dir, "orders")
+    tgt = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0).select("c_custkey")
+    j = o.join(tgt, o.o_custkey == tgt.c_custkey, "left_outer")
+    outcome = F.when(F.col("c_custkey").isNotNull(), "update").otherwise("insert")
+    return j.select(outcome.alias("outcome")).groupBy("outcome").agg(
+        F.count("*").alias("n")
+    )
+
+
+J1_SQL = """
+SELECT CASE WHEN c.c_custkey IS NOT NULL THEN 'update' ELSE 'insert' END AS outcome,
+       COUNT(*) AS n
+FROM orders o
+LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
+  ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def j2_group_collect(spark, sf_dir):
+    """J2/A4: join + group-collect to a set (reference dict-of-sets
+    mot_ids_by_code, load_stops_to_db.py:39-46)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
+    )
+
+
+J2_SQL = """
+SELECT r.r_name,
+       array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def j3_left_join_null(spark, sf_dir):
+    """J3: lookup left join with miss ⇒ null (reference routes⟕agency
+    via .get, load_routes_to_db.py:46)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_regionkey") < 3)
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_outer").select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+
+
+J3_SQL = """
+SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+FROM nation n LEFT JOIN (SELECT * FROM region WHERE r_regionkey < 3) r
+  ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def j4_inner_drop_count(spark, sf_dir):
+    """J4: inner join with counted drops (reference trips⋈routes missing-
+    route skip + stat, load_trips_to_db.py:39,51-52)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_suppkey") % 3 == 0).select("s_suppkey")
+    j = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_outer")
+    return j.agg(
+        F.sum(F.when(F.col("s_suppkey").isNotNull(), 1).otherwise(0)).alias("n_matched"),
+        F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
+J4_SQL = """
+SELECT SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS n_dropped
+FROM lineitem l
+LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0) s
+  ON l.l_suppkey = s.s_suppkey
+"""
+
+
+def j5_semi(spark, sf_dir):
+    """Left-semi (EXISTS) — the matched side of the MERGE rewrite."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+J5_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+"""
+
+
+def j6_anti(spark, sf_dir):
+    """Left-anti (NOT EXISTS) — the not-matched side of the MERGE rewrite."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+J6_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def j7_two_hop(spark, sf_dir):
+    """J7: two-hop lookup join + rollup (reference stop_id→mot_id→
+    gtfs_stop_id chain, load_stop_times_to_db.py:48-58)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_items"))
+        .select("c_mktsegment", F.col("revenue").cast("decimal(28,4)").alias("revenue"), "n_items")
+    )
+
+
+J7_SQL = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def j8_chain4_threshold(spark, sf_dir):
+    """J9+A3: 4-table FK-chain join + count + threshold gate (reference
+    validation join num_ride_stops>1000, update_gtfs_data_db.py:114-122)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("total"),
+        )
+        .where(F.col("n_orders") > 10)
+    )
+
+
+J8_SQL = """
+SELECT r.r_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+FROM region r
+JOIN nation n ON r.r_regionkey = n.n_regionkey
+JOIN customer c ON n.n_nationkey = c.c_nationkey
+JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY r.r_name HAVING COUNT(*) > 10
+"""
+
+
+def j9_asof(spark, sf_dir):
+    """J10: as-of backward join with tolerance (reference check_date:
+    latest snapshot ≤ target, reject if gap > 10 days,
+    idempotent_process.py:94-104). Here: for each purchase, the latest
+    click by the same user within the preceding 1 day."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (p.user_id == c.c_user)
+        & (c.c_ts <= p.ts)
+        & (c.c_ts >= p.ts - F.expr("INTERVAL 1 DAY"))
+    )
+    return (
+        p.join(c, cond, "left_outer")
+        .groupBy("event_id")
+        .agg(F.max("c_ts").alias("last_click_ts"))
+    )
+
+
+J9_SQL = """
+SELECT p.event_id, MAX(c.ts) AS last_click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
+GROUP BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A — aggregations (SURVEY §2.4, A1-A6)
+# --------------------------------------------------------------------------
+
+def a1_outcome_rollup(spark, sf_dir):
+    """A1: per-outcome-class counters + sums, partial+final agg (the
+    stats dicts, load_stops_to_db.py:51-63; rollup idempotent_process.py:34-54).
+    TPC-H Q1 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(28,4)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+A1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def a5_distinct_counts(spark, sf_dir):
+    """A2+A5: existence/count checks + exact dedup counts (reference
+    count<1 checks idempotent_process.py:97; set-dedup
+    load_stops_to_db.py:73-81)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_text"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+A5_SQL = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_distinct_text,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+FROM documents
+"""
+
+
+def a6_all_over_group(spark, sf_dir):
+    """A6: all()-over-group gate (reference: date valid iff all 4 files
+    present & big enough, update_gtfs_data_db.py:35-45)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.expr("bool_and(l_quantity < 45)").alias("all_small"),
+        F.count("*").alias("n_items"),
+    )
+    return per_order.groupBy("all_small").agg(
+        F.count("*").alias("n_orders"), F.sum("n_items").alias("n_lineitems")
+    )
+
+
+A6_SQL = """
+SELECT all_small, COUNT(*) AS n_orders, SUM(n_items) AS n_lineitems
+FROM (
+  SELECT l_orderkey, bool_and(l_quantity < 45) AS all_small, COUNT(*) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+) GROUP BY all_small
+"""
+
+
+# --------------------------------------------------------------------------
+# W — windows / ordering (SURVEY §2.5, W1-W5)
+# --------------------------------------------------------------------------
+
+def w1_top1_per_key(spark, sf_dir):
+    """W1: latest row per key (reference order_by desc limit 1,
+    idempotent_process.py:98-99) via max_by."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+W1_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def w2_topk_per_group(spark, sf_dir):
+    """Top-K per group (newest-first work ordering generalized, W2)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rn").cast("long").alias("rn"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        )
+    )
+
+
+W2_SQL = """
+SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rn <= 3
+"""
+
+
+def w3_session_starts(spark, sf_dir):
+    """W3 analogue: stateful gap scan via lag — count session starts per
+    user (gap > 1 hour), the weekly-thinning/retention scan shape
+    (cleanup_dated_paths.py:42-49)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    is_start = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    return (
+        ev.withColumn("is_start", is_start)
+        .groupBy("user_id")
+        .agg(F.sum("is_start").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+W3_SQL = """
+SELECT user_id, SUM(is_start) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 3600 THEN 1 ELSE 0 END AS is_start
+  FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+) GROUP BY user_id
+"""
+
+
+def w5_running_sum(spark, sf_dir):
+    """Running aggregate over a stable total order (the incremental
+    state-accumulation shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(28,2)")
+        .alias("running_total"),
+    )
+
+
+W5_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2))
+       AS running_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# M — the CDC merge centerpiece in SQL-checkable batch form (SURVEY §2.8)
+# --------------------------------------------------------------------------
+
+def m1_cdc_final_state(spark, sf_dir):
+    """The flagship shape: treat events as a change feed keyed on
+    (user_id, turn), LWW by (ts, event_id), delete on 'error' events,
+    materialize the final state (W4 + M1-M5 + delete branch)."""
+    ev = _t(spark, sf_dir, "events")
+    turn = F.pmod(F.get_json_object("props", "$.k").cast("int"), F.lit(16)).alias("turn")
+    op = F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op")
+    src = ev.select("user_id", turn, op, "ts", "event_id", "event_type", "value")
+    w = W.partitionBy("user_id", "turn").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    winners = src.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return winners.where(F.col("op") != "delete").select(
+        "user_id", "turn", "event_id", "event_type", "value"
+    )
+
+
+M1_SQL = """
+SELECT user_id, turn, event_id, event_type, value FROM (
+  SELECT user_id, turn, op, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, turn
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM (
+    SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS INT) % 16 AS turn,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+           ts, event_id, event_type, value
+    FROM events
+  )
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# --------------------------------------------------------------------------
+# S — streaming-shaped analytics (SURVEY §2.10)
+# --------------------------------------------------------------------------
+
+def s1_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregate (the daily-file-as-window
+    analogue; engine metrics query shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(28,4)").alias("sum_value"),
+        )
+    )
+
+
+S1_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# D/T/E — training-data pipeline operators (dedup, text, embeddings)
+# --------------------------------------------------------------------------
+
+def d1_exact_dedup(spark, sf_dir):
+    """Exact dedup: survivor per content hash = min doc_id (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.col("text"))).alias("content_hash"))
+        .agg(F.min("doc_id").alias("survivor_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+D1_SQL = """
+SELECT md5(lower(text)) AS content_hash,
+       MIN(doc_id) AS survivor_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def d2_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup scoring between consecutive doc pairs —
+    set ops entirely in columnar array expressions (no UDF).
+    int/int division is IEEE-exact and engine-identical."""
+    d = _t(spark, sf_dir, "documents")
+
+    def shingles(col):
+        toks = F.split(col, " ")
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        )
+
+    a = d.select(F.col("doc_id"), shingles(F.col("text")).alias("sh_a"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), shingles(F.col("text")).alias("sh_b"))
+    j = a.join(b, "doc_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "doc_id",
+        (F.col("doc_id") + 1).alias("next_doc_id"),
+        (inter / union).alias("jaccard"),
+    )
+
+
+D2_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2]
+         )) AS sh
+  FROM documents
+)
+SELECT a.doc_id, a.doc_id + 1 AS next_doc_id,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def t1_quality_score(spark, sf_dir):
+    """Text quality metrics: token counts, uniq ratio, stopword ratio,
+    mean token length — exact-integer divisions only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("long")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        (n_uniq.cast("double") / n_tok.cast("double")).alias("uniq_ratio"),
+        (stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+        (total_len.cast("double") / n_tok.cast("double")).alias("mean_tok_len"),
+    )
+
+
+T1_SQL = """
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+       CAST(len(list_filter(toks, t -> t IN ('the','a'))) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS mean_tok_len
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def t2_langid_heuristic(spark, sf_dir):
+    """Marker-token language-ID heuristic + accuracy check vs the label
+    column (operator shape: multi-branch predicates over token sets)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    has = lambda t: F.array_contains(toks, t)  # noqa: E731
+    pred = (
+        F.when(has("the") & has("a"), "en")
+        .when(has("spark"), "code")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id", "lang", pred.alias("pred_lang"), (pred == F.col("lang")).alias("is_match")
+    )
+
+
+T2_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN list_contains(toks, 'the') AND list_contains(toks, 'a') THEN 'en'
+            WHEN list_contains(toks, 'spark') THEN 'code'
+            ELSE 'unknown' END AS pred_lang,
+       (CASE WHEN list_contains(toks, 'the') AND list_contains(toks, 'a') THEN 'en'
+             WHEN list_contains(toks, 'spark') THEN 'code'
+             ELSE 'unknown' END) = lang AS is_match
+FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def t3_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over the sorted distinct token set
+    (order-insensitive content identity) + group count."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    return d.groupBy(fp.alias("fingerprint")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc_id")
+    )
+
+
+T3_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def e1_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 to the vec_id=0 query vector — the ANN
+    baseline. Dot/norms in double precision; rounded to 6 dp on both
+    sides so last-bit accumulation-order differences can't flip the hash."""
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, qlit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_v = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    qn = sum(float(x) * float(x) for x in q) ** 0.5
+    cos = F.round(dot / (norm_v * F.lit(qn)), 6)
+    return (
+        em.where(F.col("vec_id") != 0)
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+E1_SQL_TEMPLATE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p1_project_filter": p1_project_filter,
+    "p2_null_safe_cast": p2_null_safe_cast,
+    "p3_topk_limit": p3_topk_limit,
+    "f1_regexp_extract": f1_regexp_extract,
+    "f2_split_part": f2_split_part,
+    "f3_date_arith": f3_date_arith,
+    "f4_json": f4_json,
+    "f6_sequence_explode": f6_sequence_explode,
+    "f7_string_funcs": f7_string_funcs,
+    "j1_merge_branch_split": j1_merge_branch_split,
+    "j2_group_collect": j2_group_collect,
+    "j3_left_join_null": j3_left_join_null,
+    "j4_inner_drop_count": j4_inner_drop_count,
+    "j5_semi": j5_semi,
+    "j6_anti": j6_anti,
+    "j7_two_hop": j7_two_hop,
+    "j8_chain4_threshold": j8_chain4_threshold,
+    "j9_asof": j9_asof,
+    "a1_outcome_rollup": a1_outcome_rollup,
+    "a5_distinct_counts": a5_distinct_counts,
+    "a6_all_over_group": a6_all_over_group,
+    "w1_top1_per_key": w1_top1_per_key,
+    "w2_topk_per_group": w2_topk_per_group,
+    "w3_session_starts": w3_session_starts,
+    "w5_running_sum": w5_running_sum,
+    "m1_cdc_final_state": m1_cdc_final_state,
+    "s1_tumbling_window": s1_tumbling_window,
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_ngram_jaccard": d2_ngram_jaccard,
+    "t1_quality_score": t1_quality_score,
+    "t2_langid_heuristic": t2_langid_heuristic,
+    "t3_fingerprint": t3_fingerprint,
+    "e1_cosine_topk": e1_cosine_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "p1_project_filter": P1_SQL,
+    "p2_null_safe_cast": P2_SQL,
+    "p3_topk_limit": P3_SQL,
+    "f1_regexp_extract": F1_SQL,
+    "f2_split_part": F2_SQL,
+    "f3_date_arith": F3_SQL,
+    "f4_json": F4_SQL,
+    "f6_sequence_explode": F6_SQL,
+    "f7_string_funcs": F7_SQL,
+    "j1_merge_branch_split": J1_SQL,
+    "j2_group_collect": J2_SQL,
+    "j3_left_join_null": J3_SQL,
+    "j4_inner_drop_count": J4_SQL,
+    "j5_semi": J5_SQL,
+    "j6_anti": J6_SQL,
+    "j7_two_hop": J7_SQL,
+    "j8_chain4_threshold": J8_SQL,
+    "j9_asof": J9_SQL,
+    "a1_outcome_rollup": A1_SQL,
+    "a5_distinct_counts": A5_SQL,
+    "a6_all_over_group": A6_SQL,
+    "w1_top1_per_key": W1_SQL,
+    "w2_topk_per_group": W2_SQL,
+    "w3_session_starts": W3_SQL,
+    "w5_running_sum": W5_SQL,
+    "m1_cdc_final_state": M1_SQL,
+    "s1_tumbling_window": S1_SQL,
+    "d1_exact_dedup": D1_SQL,
+    "d2_ngram_jaccard": D2_SQL,
+    "t1_quality_score": T1_SQL,
+    "t2_langid_heuristic": T2_SQL,
+    "t3_fingerprint": T3_SQL,
+    "e1_cosine_topk": E1_SQL_TEMPLATE,
+}

@@ -79,6 +79,10 @@ class SnapshotParquetTable:
         t = cls(spark, root)
         os.makedirs(t._manifest_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
+        # _outcome/_src_rows/_src_lsn_* record what the LAST merge that
+        # rewrote the row did to it — lineage counters are then a cheap
+        # columnar scan of the freshly written files instead of a second
+        # join against the target (which costs as much as the merge itself)
         stored = T.StructType(
             schema.fields
             + (
@@ -86,6 +90,10 @@ class SnapshotParquetTable:
                     T.StructField("_lsn", T.LongType(), False),
                     T.StructField("_ts", T.TimestampType(), False),
                     T.StructField("_deleted", T.BooleanType(), False),
+                    T.StructField("_outcome", T.StringType(), True),
+                    T.StructField("_src_rows", T.LongType(), True),
+                    T.StructField("_src_lsn_min", T.LongType(), True),
+                    T.StructField("_src_lsn_max", T.LongType(), True),
                 ]
                 if internal_cols
                 else []
@@ -207,9 +215,15 @@ class SnapshotParquetTable:
         user_cols = m["user_cols"]
         n_buckets = m["n_buckets"]
         value_cols = [c for c in user_cols if c not in key_cols]
-        stored_cols = user_cols + ["_lsn", "_ts", "_deleted"]
+        types = {f.name: f.dataType for f in self.stored_schema().fields}
 
         src = winners.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
+        # the winners frame feeds two consumers (bucket discovery, the
+        # rewrite join) — persist once instead of recomputing the dedup
+        # shuffle twice
+        from pyspark import StorageLevel
+
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
         # touched-bucket pruning: tiny collect (≤ n_buckets values)
         touched = sorted(
             r[BUCKET_COL] for r in src.select(BUCKET_COL).distinct().collect()
@@ -229,6 +243,23 @@ class SnapshotParquetTable:
             | ((F.col("s.lsn") == F.col("t._lsn")) & (F.col("s.ts") >= F.col("t._ts")))
         )
         is_del = F.col("s.op") == "delete"
+        t_live = t_present & ~F.col("t._deleted")
+
+        # the MERGE branch outcome, computed IN the rewrite join and
+        # persisted into the new files — lineage counters then come from
+        # a columnar scan of what was just written, not a second join
+        outcome = (
+            F.when(~s_present, F.lit("carried"))
+            .when(~s_wins, F.lit("stale_skipped"))
+            .when(is_del & t_live, F.lit("deleted"))
+            .when(is_del, F.lit("delete_noop"))
+            .when(t_live, F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+        )
+        carry = "_n_dups" in src.columns
+        src_rows = F.col("s._n_dups") if carry else F.lit(None).cast("long")
+        src_lsn_min = F.col("s._lsn_min") if carry else F.lit(None).cast("long")
+        src_lsn_max = F.col("s._lsn_max") if carry else F.lit(None).cast("long")
 
         out_cols = []
         for k in key_cols:
@@ -237,9 +268,7 @@ class SnapshotParquetTable:
             )
         for c in value_cols:
             out_cols.append(
-                F.when(s_wins & is_del, F.lit(None).cast(dict(
-                    (f.name, f.dataType) for f in self.stored_schema().fields
-                )[c]))
+                F.when(s_wins & is_del, F.lit(None).cast(types[c]))
                 .when(s_wins, F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
@@ -248,6 +277,10 @@ class SnapshotParquetTable:
             F.when(s_wins, F.col("s.lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
             F.when(s_wins, F.col("s.ts")).otherwise(F.col("t._ts")).alias("_ts"),
             F.when(s_wins, is_del).otherwise(F.col("t._deleted")).alias("_deleted"),
+            outcome.alias("_outcome"),
+            F.when(s_present, src_rows).alias("_src_rows"),
+            F.when(s_present, src_lsn_min).alias("_src_lsn_min"),
+            F.when(s_present, src_lsn_max).alias("_src_lsn_max"),
         ]
         merged = joined.select(out_cols).withColumn(
             BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
@@ -266,24 +299,21 @@ class SnapshotParquetTable:
 
         stat = {"skipped_fenced": False, "version": new_version}
         if stats:
-            # narrow stats join: winners (batch-sized) vs target keys only —
-            # cheap second pass instead of caching the wide merge frame
-            tk = tgt.select(*key_cols, "_lsn", "_ts", "_deleted").alias("t")
-            sj = src.alias("s").join(tk, cond, "left_outer")
-            outcome = (
-                F.when(~s_wins, F.lit("stale_skipped"))
-                .when(is_del & (t_present & ~F.col("t._deleted")), F.lit("deleted"))
-                .when(is_del, F.lit("delete_noop"))
-                .when(t_present & ~F.col("t._deleted"), F.lit("updated"))
-                .otherwise(F.lit("inserted"))
-            )
-            counts = {
-                r["outcome"]: r["n"]
-                for r in sj.select(outcome.alias("outcome"))
-                .groupBy("outcome")
-                .agg(F.count("*").alias("n"))
+            # columnar read-back of ONLY the stats columns of the files
+            # this merge just wrote (parquet column pruning keeps this to
+            # a few bytes per row)
+            new_files = self.spark.read.parquet(out_path)
+            rows = (
+                new_files.groupBy("_outcome")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("_src_rows").alias("n_src"),
+                    F.min("_src_lsn_min").alias("lsn_min"),
+                    F.max("_src_lsn_max").alias("lsn_max"),
+                )
                 .collect()
-            }
+            )
+            counts = {r["_outcome"]: r["n"] for r in rows}
             stat.update(
                 rows_inserted=counts.get("inserted", 0),
                 rows_updated=counts.get("updated", 0),
@@ -291,6 +321,13 @@ class SnapshotParquetTable:
                 rows_stale_skipped=counts.get("stale_skipped", 0),
                 rows_delete_noop=counts.get("delete_noop", 0),
             )
+            if carry:
+                srcs = [r for r in rows if r["_outcome"] != "carried"]
+                stat["n_source_rows"] = sum(r["n_src"] or 0 for r in srcs)
+                lsn_mins = [r["lsn_min"] for r in srcs if r["lsn_min"] is not None]
+                lsn_maxs = [r["lsn_max"] for r in srcs if r["lsn_max"] is not None]
+                stat["lsn_min"] = min(lsn_mins, default=None)
+                stat["lsn_max"] = max(lsn_maxs, default=None)
 
         new_buckets = dict(m["buckets"])
         for b in touched:
@@ -303,6 +340,7 @@ class SnapshotParquetTable:
             "parent": m["version"],
         }
         self._write_manifest(new_manifest)
+        src.unpersist()
         return stat
 
     # ------------------------------------------------------ schema evolution
