@@ -1,0 +1,62 @@
+"""Maintenance operators: retention GC, weekly thinning, backfill,
+reprocess (SURVEY.md §2.9 R1-R4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def thin_keep_weekly(
+    dates: list[dt.date],
+    num_days_keep: int = 5,
+    num_weeklies_keep: int = 4,
+    today: dt.date | None = None,
+) -> tuple[set[dt.date], set[dt.date]]:
+    """Retention policy (reference cleanup_dated_paths.py:28-51, defaults
+    cli.py:73-74): keep the last ``num_days_keep`` days outright, plus
+    one-per-week for ``num_weeklies_keep`` weeks among the older dates
+    (scan ascending, keep a date only if ≥7 days after the last kept —
+    the stateful scan W3). Returns (keep, delete).
+
+    Pure driver-side function: the date list is snapshot metadata
+    (thousands at most), never row data — same altitude as the
+    reference's directory walk.
+    """
+    if today is None:
+        today = max(dates, default=None)
+    if today is None:
+        return set(), set()
+    daily_cutoff = today - dt.timedelta(days=num_days_keep)
+    weekly_cutoff = daily_cutoff - dt.timedelta(weeks=max(0, int(num_weeklies_keep)))
+    keep: set[dt.date] = set()
+    last_weekly: dt.date | None = None
+    for d in sorted(dates):
+        if d > daily_cutoff:
+            keep.add(d)
+        elif d > weekly_cutoff:
+            if last_weekly is None or (d - last_weekly).days >= 7:
+                keep.add(d)
+                last_weekly = d
+    return keep, set(dates) - keep
+
+
+def backfill(spark, table, wal_dir: str, segments: list[int], salted: bool = False):
+    """R2: replay a WAL segment range through the same merge kernel
+    (reference load_missing_data.py:16-54 walks a date range and re-runs
+    the full pipeline per date). Fencing makes overlap with already-
+    applied segments harmless."""
+    from .merge import replay_wal
+
+    return replay_wal(spark, table, wal_dir, segments, salted=salted)
+
+
+def reprocess(spark, table, wal_dir: str, from_version: int, segments: list[int],
+              salted: bool = False):
+    """R1: cascading reprocess = snapshot rollback + state reset + replay
+    (reference reprocess_data.py:16-111 deletes derived rows and resets
+    gtfs_data flags so processing re-triggers). Roll the table back to
+    ``from_version`` — which also rewinds the batch-id fence recorded in
+    that manifest — then replay the segment range."""
+    table.rollback(from_version)
+    return backfill(spark, table, wal_dir, segments, salted=salted)

@@ -303,8 +303,8 @@ class SnapshotParquetTable:
             # this merge just wrote (parquet column pruning keeps this to
             # a few bytes per row)
             new_files = self.spark.read.parquet(out_path)
-            rows = (
-                new_files.groupBy("_outcome")
+            det = (
+                new_files.groupBy(BUCKET_COL, "_outcome")
                 .agg(
                     F.count("*").alias("n"),
                     F.sum("_src_rows").alias("n_src"),
@@ -313,7 +313,39 @@ class SnapshotParquetTable:
                 )
                 .collect()
             )
+            # fold per-(bucket, outcome) detail into global counters plus
+            # the per-partition breakdown the lineage table records
+            per_bucket: dict[int, dict] = {}
+            agg_rows: dict[str, dict] = {}
+            for r in det:
+                b, o = r[BUCKET_COL], r["_outcome"]
+                pb = per_bucket.setdefault(
+                    int(b), {"lsn_min": None, "lsn_max": None}
+                )
+                pb[o] = pb.get(o, 0) + r["n"]
+                if r["lsn_min"] is not None:
+                    pb["lsn_min"] = min(
+                        (x for x in (pb["lsn_min"], r["lsn_min"]) if x is not None)
+                    )
+                if r["lsn_max"] is not None:
+                    pb["lsn_max"] = max(
+                        (x for x in (pb["lsn_max"], r["lsn_max"]) if x is not None)
+                    )
+                g = agg_rows.setdefault(
+                    o, {"n": 0, "n_src": 0, "lsn_min": None, "lsn_max": None}
+                )
+                g["n"] += r["n"]
+                g["n_src"] += r["n_src"] or 0
+                for k, fn in (("lsn_min", min), ("lsn_max", max)):
+                    if r[k] is not None:
+                        g[k] = fn(x for x in (g[k], r[k]) if x is not None)
+            rows = [
+                {"_outcome": o, "n": g["n"], "n_src": g["n_src"],
+                 "lsn_min": g["lsn_min"], "lsn_max": g["lsn_max"]}
+                for o, g in agg_rows.items()
+            ]
             counts = {r["_outcome"]: r["n"] for r in rows}
+            stat["per_bucket"] = per_bucket
             stat.update(
                 rows_inserted=counts.get("inserted", 0),
                 rows_updated=counts.get("updated", 0),

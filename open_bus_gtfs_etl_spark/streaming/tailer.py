@@ -1,0 +1,101 @@
+"""Structured Streaming WAL tailer (SURVEY.md §7 step 4).
+
+One streaming query replaces the reference's outer machinery — the
+hourly Airflow trigger (dags.yaml:1-31), the idempotent download/
+process state machine (idempotent_download_upload.py:48-74,
+idempotent_process.py:141-165) and its gtfs_data success-flag fencing
+(idempotent_process.py:57-91):
+
+- the *source tailer* is a file-source ``readStream`` over the WAL
+  directory with checkpointed offsets (replaces "which dates have I
+  downloaded" tracking);
+- the *driver* is ``foreachBatch`` running the same merge kernel as
+  batch replay, fenced by the Structured Streaming ``batch_id`` — a
+  re-delivered epoch after crash/restart is a no-op because the
+  table's manifest records the last committed batch id;
+- *late/out-of-order data* needs no watermark state: MERGE is keyed
+  and LWW-gated per row (_lsn), so a late event simply loses or wins
+  by lsn, exactly like the reference's keyed re-upserts.
+
+Exactly-once: offsets live in the checkpoint, the fence lives in the
+table manifest, and the manifest swap is atomic — a batch is either
+fully visible with its id recorded, or not at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import CHANGE_EVENTS_SCHEMA
+from ..operators.merge import apply_batch
+
+
+def start_tailer(
+    spark: SparkSession,
+    table,
+    wal_glob: str,
+    checkpoint_dir: str,
+    lineage=None,
+    salted: bool = False,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+):
+    """Start the streaming merge-apply query.
+
+    ``wal_glob`` should cover the v2-schema segment files (e.g.
+    ``{wal}/v2/seg=*``); v1 segments are absorbed via the batch
+    backfill path or by pointing a second tailer at the v1 directory —
+    the file source requires a fixed schema, which is exactly the
+    schema-registry boundary (see registry.py). Returns the
+    StreamingQuery.
+    """
+    reader = (
+        spark.readStream.schema(CHANGE_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(wal_glob)
+
+    def _apply(batch_df, batch_id: int) -> None:
+        st = apply_batch(table, batch_df, batch_id=batch_id, salted=salted)
+        if lineage is not None:
+            lineage.record(batch_id, st)
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_until_caught_up(query) -> None:
+    """Process everything currently available, then stop (the test/
+    backfill harness shape; the production query just keeps running)."""
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(60)
+
+
+def wal_v2_glob(wal_dir: str) -> str:
+    return f"{wal_dir}/v2"
+
+
+def derive_cdc_feed(df, key_hash_mod: int = 16):
+    """Utility: map an arbitrary keyed event table onto the CDC envelope
+    (used by entry() and demos)."""
+    return df.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("update").alias("op"),
+        F.col("ts"),
+        F.format_string("conv-%012d", F.col("user_id")).alias("conv_id"),
+        F.pmod(F.get_json_object("props", "$.k").cast("int"), F.lit(key_hash_mod)).alias(
+            "turn_idx"
+        ),
+        F.lit("user").alias("role"),
+        F.col("event_type").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
