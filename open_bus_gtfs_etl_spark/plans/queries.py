@@ -865,6 +865,48 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def d3_minhash_lsh(spark, sf_dir):
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard
+    (non-SQL-expressible → rows-only driver check; unit-tested against
+    planted duplicates in tests/test_training_ops.py)."""
+    from ..operators import textdedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = textdedup.minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    return textdedup.jaccard_pairs(d, cand).where(F.col("jaccard") > 0.5)
+
+
+def d4_simhash_near_dups(spark, sf_dir):
+    """SimHash block-permutation near-dup pairs (rows-only check)."""
+    from ..operators import textdedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textdedup.simhash_near_dups(d, max_hamming=6)
+
+
+def e2_lsh_ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-k (rows-only check; recall
+    vs brute force asserted in unit tests)."""
+    from ..operators import similarity
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in em.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return similarity.lsh_topk(em, q, k=10, n_planes=4, n_tables=8).select(
+        "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def x1_multimodal_features(spark, sf_dir):
+    """Binary-column decode/featurize plumbing via Arrow mapInPandas
+    (decode stubbed — no codec libs in this container; rows-only)."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(spark, 2000)
+    return multimodal.decode_and_featurize(media).select(
+        "media_id", "kind", "n_bytes", "payload_sha"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -903,6 +945,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t2_langid_heuristic": t2_langid_heuristic,
     "t3_fingerprint": t3_fingerprint,
     "e1_cosine_topk": e1_cosine_topk,
+    # rows-only (no SQL oracle — non-SQL-expressible operators)
+    "d3_minhash_lsh": d3_minhash_lsh,
+    "d4_simhash_near_dups": d4_simhash_near_dups,
+    "e2_lsh_ann_topk": e2_lsh_ann_topk,
+    "x1_multimodal_features": x1_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
