@@ -74,6 +74,42 @@ def lww_dedup_agg(
     )
 
 
+def lww_dedup_argmax_join(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    carry_stats: bool = False,
+) -> DataFrame:
+    """Argmax-via-semi-join LWW: phase 1 hash-aggregates only
+    ``max(lsn)`` per key (a pure-long buffer → HashAggregate, vs the
+    SortAggregate that ``max_by(struct)`` plans to); phase 2 joins the
+    winning lsn back to fetch the payload. Wins when the payload is wide
+    (text) and duplication is high: the agg shuffle carries keys+longs
+    only, never text. Requires lsn to be unique per key occurrence
+    (true for a WAL; duplicate deliveries share the lsn AND payload, so
+    the residual dropDuplicates is a no-op semantically).
+    """
+    aggs = [F.max(lsn_col).alias("_max_lsn")]
+    if carry_stats:
+        aggs += [
+            F.count("*").alias("_n_dups"),
+            F.min(lsn_col).alias("_lsn_min"),
+            F.max(lsn_col).alias("_lsn_max"),
+        ]
+    winners_lsn = df.groupBy(*key_cols).agg(*aggs)
+    j = df.join(
+        winners_lsn,
+        on=[*key_cols],
+        how="inner",
+    ).where(F.col(lsn_col) == F.col("_max_lsn"))
+    extra = ["_n_dups", "_lsn_min", "_lsn_max"] if carry_stats else []
+    return j.select(*key_cols, *payload_cols, *extra).dropDuplicates(
+        [*key_cols]
+    )
+
+
 def lww_dedup_window(
     df: DataFrame,
     key_cols: list[str],

@@ -5,6 +5,7 @@ from __future__ import annotations
 from open_bus_gtfs_etl_spark.genlog import generate_events
 from open_bus_gtfs_etl_spark.operators.dedup import (
     lww_dedup_agg,
+    lww_dedup_argmax_join,
     lww_dedup_salted,
     lww_dedup_window,
 )
@@ -24,7 +25,8 @@ def test_implementations_agree(spark):
     a = _norm(lww_dedup_agg(df, KEYS, PAYLOAD).collect())
     w = _norm(lww_dedup_window(df, KEYS).select(*KEYS, *PAYLOAD).collect())
     s = _norm(lww_dedup_salted(df, KEYS, PAYLOAD, n_salts=8).collect())
-    assert a == w == s
+    x = _norm(lww_dedup_argmax_join(df, KEYS, PAYLOAD).collect())
+    assert a == w == s == x
     # exactly one row per key
     keys = [t[:2] for t in a]
     assert len(keys) == len(set(keys))
