@@ -64,14 +64,20 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def _replay_subprocess(cores: int, wal_dir: str, n_events: int, lake_root: str,
                        n_buckets: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench", "replay_once.py"),
-         str(cores), wal_dir, str(n_events), lake_root, str(n_buckets),
-         "single-batch"],
-        capture_output=True, text=True, timeout=1200,
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench", "replay_once.py"),
+             str(cores), wal_dir, str(n_events), lake_root, str(n_buckets),
+             "single-batch"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        # a level can be lost to host noise/timeouts — report it as a
+        # failed sample rather than sinking the whole bench run
+        return {"cores": cores, "elapsed_sec": None, "events_per_sec": 0.0,
+                "failed": True}
 
 
 def main() -> None:
@@ -118,7 +124,7 @@ def main() -> None:
                 shutil.rmtree(lake, ignore_errors=True)
 
         best = {c: max(s["events_per_sec"] for s in samples[c]) for c in (low, high)}
-        eff = (best[high] / best[low]) / (high / low)
+        eff = (best[high] / best[low]) / (high / low) if best[low] else None
         out = {
             "metric": "change-events/sec",
             "value": best[high],
@@ -136,7 +142,7 @@ def main() -> None:
                 "cpus_high": high,
                 "events_per_sec_low": best[low],
                 "events_per_sec_high": best[high],
-                "efficiency": round(eff, 3),
+                "efficiency": round(eff, 3) if eff is not None else None,
                 "methodology": "fresh JVM per run, JIT warm-up, interleaved, best-of-%d per level (shared noisy host)" % rounds,
                 "samples": {str(c): [s["events_per_sec"] for s in samples[c]] for c in (low, high)},
             },
