@@ -52,6 +52,76 @@ def brute_force_topk(
     )
 
 
+# ----------------------------------------------------------------- IVF ANN
+
+def ivf_centroids(dim: int, n_centroids: int = 8, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-random centroids in [-1, 1)^dim, derived
+    from (seed, centroid, component) via sha256 in pure Python — the
+    same literals are embeddable in a Spark plan AND an ANSI-SQL oracle,
+    which is what makes the IVF contract exactly checkable."""
+    import hashlib
+
+    cents = []
+    for i in range(n_centroids):
+        c = []
+        for j in range(dim):
+            h = hashlib.sha256(f"ivf:{seed}:{i}:{j}".encode()).digest()
+            c.append(int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0)
+        cents.append(c)
+    return cents
+
+
+def nearest_centroids(vec: list[float], cents: list[list[float]], n_probe: int) -> list[int]:
+    """Indices of the ``n_probe`` nearest centroids by dot product
+    (left-to-right float accumulation — the same IEEE result the SQL
+    oracle's list_sum produces; ties break to the lower centroid id)."""
+    def _dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    scored = sorted((-_dot(vec, c), i) for i, c in enumerate(cents))
+    return [i for _, i in scored[:n_probe]]
+
+
+def assign_centroid(vec_col: str, cents: list[list[float]]) -> F.Column:
+    """Per-row nearest-centroid id (argmax dot), ties to the lowest id —
+    pure array expressions, identical tie semantics to the SQL oracle's
+    row_number() ORDER BY dot DESC, cid."""
+    v = _to_double(F.col(vec_col))
+    dots = F.array(*[dot(v, F.array(*[F.lit(x) for x in c])) for c in cents])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: score only vectors assigned to the
+    query's ``n_probe`` nearest centroid buckets.
+
+    At corpus scale the assignment is a narrow map over each vector
+    (the centroid table is a broadcast-sized literal); the probe filter
+    prunes the scan to ~n_probe/n_centroids of the corpus before any
+    cosine is paid; top-k runs as TakeOrdered. Recall/cost trade on
+    (n_centroids, n_probe) exactly as in a FAISS IVF index."""
+    cents = ivf_centroids(len(query), n_centroids, seed)
+    probes = nearest_centroids(query, cents, n_probe)
+    cand = df.where(assign_centroid(vec_col, cents).isin([int(p) for p in probes]))
+    scored = cosine_to_query(cand, query, vec_col).withColumn(
+        "cos_sim", F.round("cos_sim", round_dp)
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def hyperplane_signature(
     vec_col: str, dim: int, n_planes: int = 16, seed: int = 5
 ) -> F.Column:
@@ -88,25 +158,44 @@ def lsh_topk(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 5,
+    max_candidates: int | None = None,
+    dropped: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors that share an LSH bucket
     with the query in at least one of ``n_tables`` hash tables.
 
     At corpus scale the signature computation is a narrow map; the
-    candidate restriction is a broadcast-able semi-join on (table,
-    bucket); only candidates pay the cosine. Recall rises with
-    n_tables, cost with bucket size — the standard knobs.
+    candidate restriction is a single filter against the query's
+    signature vector (computed in ONE driver-side job for all tables,
+    not one collect per table); only candidates pay the cosine. Recall
+    rises with n_tables, cost with bucket size — the standard knobs.
+
+    ``max_candidates`` bounds the scored set when a degenerate corpus
+    floods the query's buckets (take lowest ids, deterministic); the
+    truncation is surfaced through ``dropped``, never silent.
     """
     dim = len(query)
-    cand = None
     spark = df.sparkSession
     qdf = spark.createDataFrame([(query,)], "q array<double>")
+    # all query signatures in one collect
+    qsigs = qdf.select(
+        *[
+            hyperplane_signature("q", dim, n_planes, seed + 1000 * t).alias(f"s{t}")
+            for t in range(n_tables)
+        ]
+    ).collect()[0]
+    match = None
     for t in range(n_tables):
         sig = hyperplane_signature(vec_col, dim, n_planes, seed + 1000 * t)
-        qsig_row = qdf.select(
-            hyperplane_signature("q", dim, n_planes, seed + 1000 * t).alias("s")
-        ).collect()[0]["s"]
-        this = df.where(sig == F.lit(qsig_row))
-        cand = this if cand is None else cand.unionByName(this)
-    cand = cand.dropDuplicates([id_col])
+        this = sig == F.lit(qsigs[f"s{t}"])
+        match = this if match is None else (match | this)
+    cand = df.where(match)
+    if max_candidates is not None:
+        n = cand.count()
+        if n > max_candidates:
+            if dropped is not None:
+                dropped["n_dropped_candidates"] = n - max_candidates
+            cand = cand.orderBy(id_col).limit(max_candidates)
+        elif dropped is not None:
+            dropped["n_dropped_candidates"] = 0
     return brute_force_topk(cand, query, k, vec_col, id_col)

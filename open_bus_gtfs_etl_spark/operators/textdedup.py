@@ -5,6 +5,13 @@ All are pure DataFrame/array-expression programs — no UDFs — so they
 stay inside whole-stage codegen and scale by shuffle on bucket keys:
 the LSH family turns O(n²) pair comparison into equality joins on
 band/bucket keys, which is the only shape that survives 100 TB.
+
+Degenerate-bucket protection: a bucket holding N near-identical
+documents makes the self-join quadratic in N. Both LSH paths accept
+``max_bucket_size``; oversized buckets are EXCLUDED from the pair join
+and surfaced (never silently) via the ``dropped`` out-param — the
+standard recipe is exact-dedup first (collapses identical docs), then
+LSH with a cap as the backstop.
 """
 
 from __future__ import annotations
@@ -17,9 +24,14 @@ def _tokens(text_col: str) -> F.Column:
     return F.split(F.col(text_col), " ")
 
 
-def word_shingles(text_col: str, k: int = 3) -> F.Column:
-    """Distinct k-word shingles as an array column."""
-    toks = _tokens(text_col)
+def word_shingles_from_tokens(toks: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-word shingles from a pre-materialized token array.
+
+    Taking the token ARRAY (not the text) matters for performance: if
+    ``split(text)`` is inlined here, codegen re-evaluates the split for
+    every element_at — O(k · n_tokens) splits per row. Bind the split
+    to a column once and shingling is a single pass.
+    """
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(
@@ -29,6 +41,20 @@ def word_shingles(text_col: str, k: int = 3) -> F.Column:
             ),
         )
     )
+
+
+def word_shingles(text_col: str, k: int = 3) -> F.Column:
+    """Distinct k-word shingles as an array column (expression form;
+    prefer materializing the token array and using
+    ``word_shingles_from_tokens`` in hot paths)."""
+    return word_shingles_from_tokens(_tokens(text_col), k)
+
+
+def _shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -> DataFrame:
+    """(id, sh) with the token split materialized exactly once per row."""
+    return df.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("_toks")
+    ).select("id", word_shingles_from_tokens(F.col("_toks"), shingle_k).alias("sh"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -55,6 +81,32 @@ def minhash_signature(shingles: F.Column, num_hashes: int = 32, seed: int = 7) -
     )
 
 
+def _cap_buckets(
+    exploded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+    dropped: dict | None,
+) -> DataFrame:
+    """Exclude buckets larger than ``max_bucket_size`` from the pair
+    join, recording how much was dropped (no silent caps). The size
+    count is a map-side-combined aggregation over key columns only."""
+    if max_bucket_size is None:
+        return exploded
+    sizes = exploded.groupBy(*bucket_cols).agg(F.count("*").alias("_bsz"))
+    kept = exploded.join(
+        sizes.where(F.col("_bsz") <= max_bucket_size).select(*bucket_cols),
+        bucket_cols,
+        "left_semi",
+    )
+    if dropped is not None:
+        over = sizes.where(F.col("_bsz") > max_bucket_size).agg(
+            F.count("*").alias("nb"), F.sum("_bsz").alias("nr")
+        ).collect()[0]
+        dropped["n_dropped_buckets"] = int(over["nb"] or 0)
+        dropped["n_dropped_rows"] = int(over["nr"] or 0)
+    return kept
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -63,6 +115,8 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 7,
+    max_bucket_size: int | None = None,
+    dropped: dict | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate candidate pairs.
 
@@ -73,11 +127,17 @@ def minhash_lsh_candidates(
     equi-join on the bucket key, so Catalyst shuffles only (key, id)
     pairs — the scalable path for corpus-scale near-dup.
 
+    ``max_bucket_size`` drops degenerate buckets (N identical docs go
+    quadratic) and reports the drop through ``dropped``.
+
     Returns (id_a, id_b, n_bands) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(text_col, shingle_k), num_hashes, seed)
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    base = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("_toks"))
+    sig = minhash_signature(
+        word_shingles_from_tokens(F.col("_toks"), shingle_k), num_hashes, seed
+    )
+    banded = base.select("id", sig.alias("sig"))
     band_arr = F.array(
         *[
             F.struct(
@@ -98,6 +158,7 @@ def minhash_lsh_candidates(
     exploded = banded.select("id", F.explode(band_arr).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    exploded = _cap_buckets(exploded, ["band", "bucket"], max_bucket_size, dropped)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -122,54 +183,73 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle Jaccard (the second
     stage of the classic LSH pipeline). Joins text back only for the
-    candidate set — linear in candidates, not quadratic in corpus."""
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh"))
+    candidate set — linear in candidates, not quadratic in corpus.
+    Keeps any extra columns the candidate frame carries (n_bands,
+    hamming, ...)."""
+    sh = _shingle_frame(df, text_col, id_col, shingle_k)
+    extra = [c for c in candidates.columns if c not in ("id_a", "id_b")]
     j = (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return j.select("id_a", "id_b", "n_bands", (inter / union).alias("jaccard"))
+    return j.select("id_a", "id_b", *extra, (inter / union).alias("jaccard"))
+
+
+_BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
 
 
 def simhash(text_col: str = "text", bits: int = 64, seed: int = 11) -> F.Column:
     """64-bit SimHash as a long column: per token, xxhash64 gives the
     bit pattern; the signature bit b is the majority vote over tokens.
-    Pure array expressions: for each bit, sum(±1 per token) > 0."""
-    toks = _tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
 
-    def _vote_fn(bit: int):
-        # factory closure: PySpark inspects lambda arity, so default-arg
-        # binding (lambda acc, h, b=b: ...) would be mis-read as 3-ary
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    Single-pass formulation: ONE aggregate over the token-hash array
+    carries a 64-long vote vector (zip_with against a bit-mask array
+    literal), so each token hash is computed and scanned exactly once —
+    the round-1 version ran 64 independent aggregates, re-evaluating
+    xxhash64 per bit (64× the hashing work)."""
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS[:bits]])
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    hashes = F.transform(_tokens(text_col), lambda t: F.xxhash64(t, F.lit(seed)))
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        ),
+    )
+    sig_bits = F.zip_with(
+        votes,
+        masks,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        sig_bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(b))
-        bit = F.shiftleft(
-            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b
-        )
-        out = out.bitwiseOR(bit)
-    return out
 
-
-def simhash_near_dups(
+def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 4,
     seed: int = 11,
+    max_bucket_size: int | None = None,
+    dropped: dict | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs via block permutation: split the 64-bit
-    signature into ``n_blocks`` 16-bit blocks; by pigeonhole, any pair
-    within hamming distance < n_blocks shares at least one exact block
-    → equality join per block, then exact hamming filter via
-    bit_count(xor). Again: only equi-joins shuffle."""
+    """SimHash candidate pairs via block permutation: split the 64-bit
+    signature into ``n_blocks`` blocks; by pigeonhole, any pair within
+    hamming distance < n_blocks shares at least one exact block →
+    equality join per block, then exact hamming filter via
+    bit_count(xor). Only equi-joins shuffle. Returns
+    (id_a, id_b, hamming)."""
     sig = simhash(text_col, seed=seed)
     base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     block_bits = 64 // n_blocks
@@ -186,6 +266,7 @@ def simhash_near_dups(
     ex = base.select("id", "sig", F.explode(blocks).alias("b")).select(
         "id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
+    ex = _cap_buckets(ex, ["blk", "val"], max_bucket_size, dropped)
     a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
@@ -198,4 +279,20 @@ def simhash_near_dups(
         .where(ham <= max_hamming)
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.min(ham).alias("hamming"))
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    seed: int = 11,
+    max_bucket_size: int | None = None,
+    dropped: dict | None = None,
+) -> DataFrame:
+    """Back-compat alias of ``simhash_candidates`` (id_a, id_b, hamming)."""
+    return simhash_candidates(
+        df, text_col, id_col, max_hamming, n_blocks, seed, max_bucket_size, dropped
     )

@@ -7,9 +7,16 @@ f* scalar functions, j* joins, a* aggregations, w* windows, m* the
 merge/CDC centerpiece, d*/t*/e* the training-data operators (dedup,
 text analysis, embeddings), s* streaming-shaped analytics.
 
-Determinism rules for the value-hash gate:
-- money/measure aggregates go through DECIMAL casts (exact, order-
-  independent summation) — never raw double sums;
+Determinism rules for the value-hash gate (round-2 spec: output
+schemas contain ONLY bigint, varchar, boolean, date/timestamp and
+identically-computed double — never DECIMAL, whose physical
+representation differs between the two engines' result paths):
+- money/measure aggregates go through DECIMAL casts internally (exact,
+  order-independent summation) and are cast to DOUBLE at the output
+  boundary — decimal→double is correctly rounded in both engines, so
+  equal decimals yield bit-equal doubles;
+- DuckDB integer SUM returns HUGEINT (int128) → every integer SUM in
+  the oracle SQL is wrapped in CAST(... AS BIGINT) to match Spark;
 - ratios divide small exact integers (identical IEEE result in both
   engines); cosine similarity is rounded to 6 decimals on both sides;
 - collected sets are sorted and joined to a string;
@@ -42,7 +49,7 @@ def p1_project_filter(spark, sf_dir):
             "l_orderkey",
             "l_linenumber",
             F.col("l_quantity").cast("int").alias("qty"),
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price"),
         )
     )
 
@@ -50,7 +57,7 @@ def p1_project_filter(spark, sf_dir):
 P1_SQL = """
 SELECT l_orderkey, l_linenumber,
        CAST(l_quantity AS INT) AS qty,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
 """
@@ -84,12 +91,15 @@ def p3_topk_limit(spark, sf_dir):
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("total"))
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total"),
+        )
     )
 
 
 P3_SQL = """
-SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
@@ -179,7 +189,7 @@ def f4_json(spark, sf_dir):
 
 F4_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
@@ -302,8 +312,8 @@ def j4_inner_drop_count(spark, sf_dir):
 
 
 J4_SQL = """
-SELECT SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
-       SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS n_dropped
+SELECT CAST(SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM lineitem l
 LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0) s
   ON l.l_suppkey = s.s_suppkey
@@ -351,13 +361,13 @@ def j7_two_hop(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_items"))
-        .select("c_mktsegment", F.col("revenue").cast("decimal(28,4)").alias("revenue"), "n_items")
+        .select("c_mktsegment", F.col("revenue").cast("double").alias("revenue"), "n_items")
     )
 
 
 J7_SQL = """
 SELECT c.c_mktsegment,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -380,7 +390,7 @@ def j8_chain4_threshold(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
         .where(F.col("n_orders") > 10)
     )
@@ -388,7 +398,7 @@ def j8_chain4_threshold(spark, sf_dir):
 
 J8_SQL = """
 SELECT r.r_name, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM region r
 JOIN nation n ON r.r_regionkey = n.n_regionkey
 JOIN customer c ON n.n_nationkey = c.c_nationkey
@@ -442,9 +452,9 @@ def a1_outcome_rollup(spark, sf_dir):
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(28,4)").alias("sum_disc_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -452,9 +462,9 @@ def a1_outcome_rollup(spark, sf_dir):
 
 A1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -496,7 +506,7 @@ def a6_all_over_group(spark, sf_dir):
 
 
 A6_SQL = """
-SELECT all_small, COUNT(*) AS n_orders, SUM(n_items) AS n_lineitems
+SELECT all_small, COUNT(*) AS n_orders, CAST(SUM(n_items) AS BIGINT) AS n_lineitems
 FROM (
   SELECT l_orderkey, bool_and(l_quantity < 45) AS all_small, COUNT(*) AS n_items
   FROM lineitem GROUP BY l_orderkey
@@ -541,14 +551,14 @@ def w2_topk_per_group(spark, sf_dir):
             "c_mktsegment",
             F.col("rn").cast("long").alias("rn"),
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total"),
         )
     )
 
 
 W2_SQL = """
 SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS total
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
 FROM (
   SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
          row_number() OVER (PARTITION BY c.c_mktsegment
@@ -575,7 +585,7 @@ def w3_session_starts(spark, sf_dir):
 
 
 W3_SQL = """
-SELECT user_id, SUM(is_start) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN prev_ts IS NULL
@@ -603,7 +613,7 @@ def w5_running_sum(spark, sf_dir):
         "o_custkey",
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w)
-        .cast("decimal(28,2)")
+        .cast("double")
         .alias("running_total"),
     )
 
@@ -612,7 +622,7 @@ W5_SQL = """
 SELECT o_orderkey, o_custkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2))
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
        AS running_total
 FROM orders
 """
@@ -667,14 +677,14 @@ def s1_tumbling_window(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(28,4)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
     )
 
 
 S1_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -702,26 +712,20 @@ FROM documents GROUP BY 1
 def d2_ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup scoring between consecutive doc pairs —
     set ops entirely in columnar array expressions (no UDF).
-    int/int division is IEEE-exact and engine-identical."""
+    int/int division is IEEE-exact and engine-identical.
+
+    The token split is materialized as a column BEFORE shingling so
+    codegen evaluates it once per row, not once per element_at (the
+    round-1 version paid O(k·n_tokens) splits per row — d2 was the
+    slowest headline query purely from that)."""
+    from ..operators.textdedup import word_shingles_from_tokens
+
     d = _t(spark, sf_dir, "documents")
-
-    def shingles(col):
-        toks = F.split(col, " ")
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
-        return F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        )
-
-    a = d.select(F.col("doc_id"), shingles(F.col("text")).alias("sh_a"))
-    b = d.select((F.col("doc_id") - 1).alias("doc_id"), shingles(F.col("text")).alias("sh_b"))
+    sh = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", word_shingles_from_tokens(F.col("toks"), 3).alias("sh")
+    )
+    a = sh.select("doc_id", F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b"))
     j = a.join(b, "doc_id")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -865,35 +869,141 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+# brute-force 3-gram Jaccard over all pairs — the DuckDB oracle for the
+# verified-output stage of BOTH LSH dedup pipelines. The candidate
+# generation (minhash bands / simhash blocks) prunes WHICH pairs pay the
+# exact Jaccard; above the threshold the verified output must equal the
+# brute force (the sf0.01 corpus has a wide margin: dup pairs sit at
+# j≈0.99, the next band at j≈0.1).
+_BRUTE_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2]
+         )) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) > {thr}
+"""
+
+
 def d3_minhash_lsh(spark, sf_dir):
-    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard
-    (non-SQL-expressible → rows-only driver check; unit-tested against
-    planted duplicates in tests/test_training_ops.py)."""
+    """MinHash + banded LSH candidates, verified with exact 3-gram
+    Jaccard > 0.5. Contract output is the VERIFIED stage — checkable
+    against a DuckDB all-pairs brute force (the LSH pruning must lose
+    nothing above the threshold on this corpus)."""
     from ..operators import textdedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     cand = textdedup.minhash_lsh_candidates(d, num_hashes=32, bands=8)
-    return textdedup.jaccard_pairs(d, cand).where(F.col("jaccard") > 0.5)
+    return (
+        textdedup.jaccard_pairs(d, cand)
+        .where(F.col("jaccard") > 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+D3_SQL = _BRUTE_JACCARD_SQL.format(thr="0.5")
 
 
 def d4_simhash_near_dups(spark, sf_dir):
-    """SimHash block-permutation near-dup pairs (rows-only check)."""
+    """SimHash block-permutation candidates (8 blocks of 8 bits —
+    pigeonhole-exact for hamming ≤ 7 — with a hamming ≤ 12 pre-filter),
+    verified with exact 3-gram Jaccard > 0.8 — same oracle shape as d3,
+    different candidate generator."""
     from ..operators import textdedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return textdedup.simhash_near_dups(d, max_hamming=6)
+    cand = textdedup.simhash_candidates(d, max_hamming=12, n_blocks=8).select(
+        "id_a", "id_b"
+    )
+    return (
+        textdedup.jaccard_pairs(d, cand)
+        .where(F.col("jaccard") > 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
-def e2_lsh_ann_topk(spark, sf_dir):
-    """Random-hyperplane LSH approximate top-k (rows-only check; recall
-    vs brute force asserted in unit tests)."""
+D4_SQL = _BRUTE_JACCARD_SQL.format(thr="0.8")
+
+
+def e2_ivf_ann_topk(spark, sf_dir):
+    """IVF-bucketed approximate nearest neighbors: vectors are assigned
+    to their nearest of 8 deterministic pseudo-random centroids; the
+    query probes its top-2 centroid buckets and scores only those
+    vectors. Centroids are Python-generated literals shared verbatim by
+    the Spark plan and the DuckDB oracle, so both engines compute the
+    SAME approximate result — an honestly checkable ANN contract
+    (the hyperplane-LSH variant lives in operators/similarity.py with
+    recall unit tests; its buckets depend on xxhash64, which the oracle
+    cannot reproduce)."""
     from ..operators import similarity
 
     em = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in em.where(F.col("vec_id") == 0).collect()[0].embedding]
-    return similarity.lsh_topk(em, q, k=10, n_planes=4, n_tables=8).select(
-        "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim")
+    return similarity.ivf_topk(
+        em.where(F.col("vec_id") != 0), q, k=10, n_centroids=8, n_probe=2
+    ).select("vec_id", "label", "cos_sim")
+
+
+def _build_e2_sql(dim: int = 64, n_centroids: int = 8, n_probe: int = 2) -> str:
+    """Static IVF oracle: centroid literals are seed-derived (data-
+    independent); the query vector and its probe set are computed inside
+    the SQL, so one string serves every sf dir."""
+    from ..operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids=n_centroids)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
     )
+    return f"""
+WITH cents(cid, c) AS (VALUES
+    {cent_rows}
+),
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+probes AS (
+  SELECT cid FROM cents, q
+  ORDER BY list_sum(list_transform(generate_series(1, len(qv)),
+                    i -> qv[i] * c[i])) DESC, cid
+  LIMIT {n_probe}
+),
+emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+assigned AS (
+  SELECT vec_id, label, v, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum(list_transform(generate_series(1, len(v)),
+                             i -> v[i] * c[i])) DESC, cid
+         ) AS rn
+  FROM emb CROSS JOIN cents
+)
+SELECT a.vec_id, a.label,
+       round(
+         list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * q.qv[i]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+         6) AS cos_sim
+FROM assigned a, q
+WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probes)
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+E2_SQL = _build_e2_sql()
 
 
 def x1_multimodal_features(spark, sf_dir):
@@ -945,10 +1055,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t2_langid_heuristic": t2_langid_heuristic,
     "t3_fingerprint": t3_fingerprint,
     "e1_cosine_topk": e1_cosine_topk,
-    # rows-only (no SQL oracle — non-SQL-expressible operators)
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash_near_dups": d4_simhash_near_dups,
-    "e2_lsh_ann_topk": e2_lsh_ann_topk,
+    "e2_ivf_ann_topk": e2_ivf_ann_topk,
+    # rows-only (no SQL oracle — payload bytes derive from xxhash64,
+    # which DuckDB cannot reproduce; plumbing is unit-tested instead)
     "x1_multimodal_features": x1_multimodal_features,
 }
 
@@ -986,4 +1097,7 @@ ORACLES: dict[str, str] = {
     "t2_langid_heuristic": T2_SQL,
     "t3_fingerprint": T3_SQL,
     "e1_cosine_topk": E1_SQL_TEMPLATE,
+    "d3_minhash_lsh": D3_SQL,
+    "d4_simhash_near_dups": D4_SQL,
+    "e2_ivf_ann_topk": E2_SQL,
 }

@@ -65,6 +65,42 @@ def test_simhash_near_dups(spark):
     assert planted <= found
 
 
+def test_lsh_bucket_cap_degenerate_corpus(spark):
+    """Adversarial: 500 identical docs put all rows in one bucket per
+    band — quadratic (125k pairs) without a cap. With the cap the join
+    completes with zero pairs and the drop is surfaced, never silent."""
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact text repeated across every single document here").alias("text"),
+    )
+    dropped = {}
+    cand = textdedup.minhash_lsh_candidates(d, max_bucket_size=50, dropped=dropped)
+    assert cand.count() == 0
+    assert dropped["n_dropped_buckets"] == 8  # one degenerate bucket per band
+    assert dropped["n_dropped_rows"] == 500 * 8
+    # a mixed corpus: the sane part still pairs up, only the degenerate
+    # bucket is excluded
+    sane = _docs(spark).limit(100).select("doc_id", "text")
+    dup = sane.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    mixed = d.unionByName(sane).unionByName(dup)
+    dropped2 = {}
+    cand2 = textdedup.minhash_lsh_candidates(mixed, max_bucket_size=50, dropped=dropped2)
+    found = {(r.id_a, r.id_b) for r in cand2.collect()}
+    planted = {(r.doc_id, r.doc_id + 100000) for r in sane.select("doc_id").collect()}
+    assert planted <= found
+    assert dropped2["n_dropped_buckets"] >= 8
+
+
+def test_simhash_bucket_cap(spark):
+    d = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.lit("identical words everywhere always").alias("text")
+    )
+    dropped = {}
+    pairs = textdedup.simhash_candidates(d, max_bucket_size=20, dropped=dropped)
+    assert pairs.count() == 0
+    assert dropped["n_dropped_buckets"] == 4 and dropped["n_dropped_rows"] == 300 * 4
+
+
 # --------------------------------------------------------------- similarity
 
 def test_brute_force_topk_self_nearest(spark):
@@ -85,6 +121,44 @@ def test_lsh_topk_approximates_brute_force(spark):
     assert exact[0] == got[0] == 7
     # decent overlap with the exact top-10
     assert len(set(exact) & set(got)) >= 3
+
+
+def test_ivf_topk_matches_bucket_restricted_exact(spark):
+    """IVF top-k must equal brute force restricted to the probed
+    buckets (definitionally), and overlap decently with the global
+    exact top-10 on this corpus."""
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in em.where(F.col("vec_id") == 0).collect()[0].embedding]
+    body = em.where(F.col("vec_id") != 0)
+    approx = similarity.ivf_topk(body, q, k=10, n_centroids=8, n_probe=2)
+    got = [r.vec_id for r in approx.collect()]
+    cents = similarity.ivf_centroids(len(q), 8)
+    probes = similarity.nearest_centroids(q, cents, 2)
+    restricted = body.where(similarity.assign_centroid("embedding", cents).isin(probes))
+    exact_restricted = [
+        r.vec_id
+        for r in similarity.cosine_to_query(restricted, q)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact_restricted
+    exact_global = [
+        r.vec_id for r in similarity.brute_force_topk(body, q, k=10).collect()
+    ]
+    assert len(set(got) & set(exact_global)) >= 3
+
+
+def test_lsh_topk_max_candidates_surfaced(spark):
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in em.where(F.col("vec_id") == 7).collect()[0].embedding]
+    dropped = {}
+    top = similarity.lsh_topk(
+        em, q, k=5, n_planes=2, n_tables=4, max_candidates=20, dropped=dropped
+    )
+    assert top.count() <= 5
+    assert dropped.get("n_dropped_candidates", 0) >= 0  # surfaced either way
 
 
 # --------------------------------------------------------------- multimodal
