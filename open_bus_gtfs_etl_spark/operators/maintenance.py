@@ -14,10 +14,14 @@ def thin_keep_weekly(
     today: dt.date | None = None,
 ) -> tuple[set[dt.date], set[dt.date]]:
     """Retention policy (reference cleanup_dated_paths.py:28-51, defaults
-    cli.py:73-74): keep the last ``num_days_keep`` days outright, plus
-    one-per-week for ``num_weeklies_keep`` weeks among the older dates
-    (scan ascending, keep a date only if ≥7 days after the last kept —
-    the stateful scan W3). Returns (keep, delete).
+    cli.py:73-74): keep the last ``num_days_keep`` days outright
+    (inclusive boundary: the reference keeps date == today -
+    num_days_keep via '>='), plus one-per-week among older dates down to
+    ``today - num_weeklies_keep`` WEEKS — the weekly window is measured
+    from TODAY, not from the daily cutoff (reference deletes when
+    date <= today - weeks*7). Scan ascending, keep a date only if ≥7
+    days after the last kept — the stateful scan W3. Returns
+    (keep, delete).
 
     Pure driver-side function: the date list is snapshot metadata
     (thousands at most), never row data — same altitude as the
@@ -28,11 +32,11 @@ def thin_keep_weekly(
     if today is None:
         return set(), set()
     daily_cutoff = today - dt.timedelta(days=num_days_keep)
-    weekly_cutoff = daily_cutoff - dt.timedelta(weeks=max(0, int(num_weeklies_keep)))
+    weekly_cutoff = today - dt.timedelta(weeks=max(0, int(num_weeklies_keep)))
     keep: set[dt.date] = set()
     last_weekly: dt.date | None = None
     for d in sorted(dates):
-        if d > daily_cutoff:
+        if d >= daily_cutoff:
             keep.add(d)
         elif d > weekly_cutoff:
             if last_weekly is None or (d - last_weekly).days >= 7:

@@ -102,6 +102,11 @@ class SnapshotParquetTable:
         manifest = {
             "version": 1,
             "last_committed_batch_id": -1,
+            # per-writer fences: batch replay (WAL segment ids) and each
+            # streaming checkpoint (epoch ids from 0) fence independently
+            # — a shared scalar silently no-ops a fresh tailer's early
+            # epochs after a batch backfill, dropping their events
+            "fences": {},
             "n_buckets": n_buckets,
             "key_cols": key_cols,
             "schema": json.loads(stored.json()),
@@ -142,8 +147,31 @@ class SnapshotParquetTable:
     def snapshot_id(self) -> int:
         return self.manifest()["version"]
 
-    def last_committed_batch(self) -> int:
-        return self.manifest()["last_committed_batch_id"]
+    def last_committed_batch(self, writer: str | None = None) -> int:
+        """Fence position. ``writer=None`` returns the max across all
+        writers (progress indicator); a named writer gets its own fence."""
+        m = self.manifest()
+        fences = m.get("fences", {})
+        if writer is None:
+            return max(
+                [m.get("last_committed_batch_id", -1), *fences.values()]
+            )
+        return fences.get(
+            writer,
+            m.get("last_committed_batch_id", -1) if writer == "default" else -1,
+        )
+
+    def _max_version(self) -> int:
+        """Highest version EVER allocated (manifest-dir scan, not the
+        CURRENT chain): after rollback() the next commit must allocate
+        past the abandoned versions, or its overwrite-write would wipe
+        data dirs those manifests still reference."""
+        versions = [
+            int(n[1:10])
+            for n in os.listdir(self._manifest_dir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(versions, default=0)
 
     def stored_schema(self) -> T.StructType:
         return T.StructType.fromJson(self.manifest()["schema"])
@@ -180,6 +208,7 @@ class SnapshotParquetTable:
         winners: DataFrame,
         batch_id: int,
         stats: bool = True,
+        writer: str = "default",
     ) -> dict:
         """Copy-on-write MERGE of a pre-deduplicated batch of winners.
 
@@ -196,12 +225,19 @@ class SnapshotParquetTable:
             op == delete → tombstone; else overwrite
         - matched but stale (older lsn)  → keep target row, count skipped
 
-        Fencing: if ``batch_id`` <= last committed, the whole merge is a
-        no-op (exactly-once re-delivery, the gtfs_data skip-if-done
-        check, idempotent_process.py:94-104).
+        Fencing: if ``batch_id`` <= the WRITER's last committed id, the
+        whole merge is a no-op (exactly-once re-delivery, the gtfs_data
+        skip-if-done check, idempotent_process.py:94-104). Fences are
+        namespaced per writer so batch replay (WAL segment ids) and each
+        streaming checkpoint (epoch ids) never fence each other out.
         """
         m = self.manifest()
-        if batch_id is not None and batch_id <= m["last_committed_batch_id"]:
+        fences = dict(m.get("fences", {}))
+        last_for_writer = fences.get(
+            writer,
+            m.get("last_committed_batch_id", -1) if writer == "default" else -1,
+        )
+        if batch_id is not None and batch_id <= last_for_writer:
             return {
                 "skipped_fenced": True,
                 "version": m["version"],
@@ -286,7 +322,11 @@ class SnapshotParquetTable:
             BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
         )
 
-        new_version = m["version"] + 1
+        # allocate past the global max, never m["version"]+1: after a
+        # rollback the chain head is old, and reusing an abandoned
+        # version number would overwrite-wipe data dirs its manifest
+        # still references
+        new_version = max(m["version"], self._max_version()) + 1
         rel_data = os.path.join("data", f"v{new_version:09d}")
         out_path = os.path.join(self.root, rel_data)
         (
@@ -364,10 +404,17 @@ class SnapshotParquetTable:
         new_buckets = dict(m["buckets"])
         for b in touched:
             new_buckets[str(b)] = os.path.join(rel_data, f"{BUCKET_COL}={b}")
+        if batch_id is not None:
+            fences[writer] = batch_id
         new_manifest = {
             **m,
             "version": new_version,
-            "last_committed_batch_id": batch_id if batch_id is not None else m["last_committed_batch_id"],
+            "last_committed_batch_id": (
+                batch_id
+                if batch_id is not None and writer == "default"
+                else m.get("last_committed_batch_id", -1)
+            ),
+            "fences": fences,
             "buckets": new_buckets,
             "parent": m["version"],
         }
@@ -393,7 +440,7 @@ class SnapshotParquetTable:
         new_stored = T.StructType(user + add + internal)
         new_manifest = {
             **m,
-            "version": m["version"] + 1,
+            "version": max(m["version"], self._max_version()) + 1,
             "schema": json.loads(new_stored.json()),
             "user_cols": [f.name for f in user + add],
             "parent": m["version"],
@@ -402,35 +449,58 @@ class SnapshotParquetTable:
         return new_manifest["version"]
 
     # --------------------------------------------------------------- expiry
+    def _chain_versions(self) -> list[int]:
+        """Versions reachable from CURRENT via parent pointers, newest
+        first (the live snapshot history). Manifests OFF this chain are
+        abandoned — e.g. versions newer than CURRENT after a rollback."""
+        chain = []
+        man = self.manifest()
+        while True:
+            chain.append(man["version"])
+            parent = man.get("parent")
+            if parent is None:
+                break
+            ppath = self._manifest_path(parent)
+            if not os.path.exists(ppath):
+                break  # ancestor already expired
+            with open(ppath) as f:
+                man = json.load(f)
+        return chain
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Retention GC (reference R3, cleanup_dated_paths.py:28-51):
-        drop all but the newest ``keep_last`` manifests and delete data
+        keep the newest ``keep_last`` manifests ON THE CURRENT PARENT
+        CHAIN (Iceberg-style, never by filename order — after rollback()
+        CURRENT points at an older manifest and lexicographic retention
+        would delete the live snapshot); drop every other manifest,
+        including abandoned post-rollback ones, and delete data
         directories no kept manifest references. Returns expired versions.
         """
+        chain = self._chain_versions()
+        keep_versions = set(chain[:keep_last])
         names = sorted(
             n for n in os.listdir(self._manifest_dir) if n.startswith("v") and n.endswith(".json")
         )
-        if len(names) <= keep_last:
-            return []
-        keep, drop = names[-keep_last:], names[:-keep_last]
         referenced: set[str] = set()
-        for n in keep:
+        expired: list[int] = []
+        for n in names:
             with open(os.path.join(self._manifest_dir, n)) as f:
                 man = json.load(f)
-            for rel in man["buckets"].values():
-                referenced.add(rel.split(os.sep + BUCKET_COL + "=")[0])
-        expired = []
-        for n in drop:
-            with open(os.path.join(self._manifest_dir, n)) as f:
-                man = json.load(f)
-            expired.append(man["version"])
-            os.remove(os.path.join(self._manifest_dir, n))
+            if man["version"] in keep_versions:
+                for rel in man["buckets"].values():
+                    referenced.add(rel.split(os.sep + BUCKET_COL + "=")[0])
+            else:
+                expired.append(man["version"])
+        if not expired:
+            return []
+        for v in expired:
+            os.remove(self._manifest_path(v))
         if os.path.isdir(self._data_dir):
             for d in os.listdir(self._data_dir):
                 rel = os.path.join("data", d)
                 if rel not in referenced:
                     shutil.rmtree(os.path.join(self._data_dir, d), ignore_errors=True)
-        return expired
+        return sorted(expired)
 
     def rollback(self, version: int) -> None:
         """Point CURRENT at an older manifest (reference R1 reprocess:

@@ -24,11 +24,26 @@ fully visible with its id recorded, or not at all.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import time
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import CHANGE_EVENTS_SCHEMA
 from ..operators.merge import apply_batch
+
+
+def stream_writer_id(checkpoint_dir: str) -> str:
+    """Stable fence namespace for a streaming query: derived from the
+    checkpoint location, which IS the query's identity across restarts.
+    Keeps Structured Streaming epoch ids (starting at 0 per checkpoint)
+    from colliding with batch-replay WAL segment ids in the table's
+    fence — a fresh-checkpoint tailer after a batch backfill must not
+    see its early epochs fenced into no-ops (silent data loss)."""
+    h = hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    return f"stream:{h}"
 
 
 def start_tailer(
@@ -40,6 +55,8 @@ def start_tailer(
     salted: bool = False,
     max_files_per_trigger: int | None = None,
     available_now: bool = False,
+    max_retries: int = 2,
+    retry_backoff_sec: float = 0.0,
 ):
     """Start the streaming merge-apply query.
 
@@ -49,6 +66,15 @@ def start_tailer(
     the file source requires a fixed schema, which is exactly the
     schema-registry boundary (see registry.py). Returns the
     StreamingQuery.
+
+    A failing merge is retried ``max_retries`` times in-batch (the
+    reference's download/extract retry loop,
+    download_extract_upload.py:29-45); on final failure the error text
+    is persisted to the lineage log BEFORE rethrowing (the reference
+    persists gtfs_data error then raises, idempotent_process.py:114-120),
+    so the failure is queryable state, not just a dead query. Retry is
+    safe: the merge commit is an atomic manifest swap, so a failed
+    attempt left nothing visible.
     """
     reader = (
         spark.readStream.schema(CHANGE_EVENTS_SCHEMA)
@@ -58,11 +84,32 @@ def start_tailer(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(wal_glob)
+    fence_writer = stream_writer_id(checkpoint_dir)
 
     def _apply(batch_df, batch_id: int) -> None:
-        st = apply_batch(table, batch_df, batch_id=batch_id, salted=salted)
-        if lineage is not None:
-            lineage.record(batch_id, st)
+        attempt = 0
+        while True:
+            try:
+                st = apply_batch(
+                    table, batch_df, batch_id=batch_id, salted=salted,
+                    writer=fence_writer,
+                )
+                if lineage is not None:
+                    lineage.record(batch_id, st)
+                return
+            except Exception as e:  # noqa: BLE001
+                attempt += 1
+                if attempt > max_retries:
+                    if lineage is not None:
+                        try:
+                            lineage.record(
+                                batch_id, {}, error=f"{type(e).__name__}: {e}"
+                            )
+                        except Exception:  # noqa: BLE001
+                            pass  # never mask the original failure
+                    raise
+                if retry_backoff_sec:
+                    time.sleep(retry_backoff_sec * attempt)
 
     writer = stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

@@ -86,9 +86,10 @@ def test_fencing_idempotent_reapply(tmp_path, spark):
     table = _make_table(spark, tmp_path)
     replay_wal(spark, table, wal, segs)
     v = table.snapshot_id()
-    # re-apply the last batch with the same batch_id → fenced no-op
+    # re-apply the last batch with the same batch_id under the same
+    # writer namespace → fenced no-op
     batch = read_wal_segment(spark, wal, segs[-1])
-    st = apply_batch(table, batch, batch_id=segs[-1])
+    st = apply_batch(table, batch, batch_id=segs[-1], writer="wal")
     assert st["skipped_fenced"] is True
     assert table.snapshot_id() == v
     _assert_equal(table, events.toPandas())
@@ -164,6 +165,84 @@ def test_merge_stats_counts(tmp_path, spark):
     assert st1["rows_updated"] == 1
     assert st1["rows_deleted"] == 1
     assert st1["rows_inserted"] == 1
+
+
+def test_writer_fences_independent(tmp_path, spark):
+    """Batch replay (WAL segment ids) and a streaming checkpoint (epoch
+    ids from 0) fence independently: a fresh stream's epoch 0 must APPLY
+    after a backfill committed segment id 5 — the shared-scalar design
+    silently dropped those events."""
+    from pyspark.sql import functions as F
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(
+                rows,
+                "lsn long, op string, conv_id string, turn_idx int, role string, text string",
+            )
+            .withColumn("ts", F.timestamp_seconds(F.col("lsn")))
+            .withColumn("tool", F.lit(None).cast("string"))
+        )
+
+    table = _make_table(spark, tmp_path, n_buckets=2)
+    apply_batch(table, mk([(1, "insert", "a", 0, "user", "via-wal")]),
+                batch_id=5, writer="wal")
+    st = apply_batch(table, mk([(2, "insert", "b", 0, "user", "via-stream")]),
+                     batch_id=0, writer="stream:ck1")
+    assert not st["skipped_fenced"], "fresh stream epoch 0 was fenced by the wal fence"
+    assert table.read().count() == 2
+    # each writer's own re-delivery IS fenced
+    assert apply_batch(table, mk([(1, "insert", "a", 0, "user", "dup")]),
+                       batch_id=5, writer="wal")["skipped_fenced"]
+    assert apply_batch(table, mk([(2, "insert", "b", 0, "user", "dup")]),
+                       batch_id=0, writer="stream:ck1")["skipped_fenced"]
+    assert table.last_committed_batch("wal") == 5
+    assert table.last_committed_batch("stream:ck1") == 0
+    assert table.last_committed_batch() == 5  # max across writers
+
+
+def test_rollback_allocates_fresh_versions_and_expiry_follows_chain(tmp_path, spark):
+    """After rollback, (a) the next merge must allocate a version past
+    the abandoned maximum so no still-referenced data dir is
+    overwrite-wiped, and (b) expire_snapshots must retain by the CURRENT
+    parent chain, not filename order — otherwise it deletes the live
+    snapshot and the table is corrupt."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(
+                rows,
+                "lsn long, op string, conv_id string, turn_idx int, role string, text string",
+            )
+            .withColumn("ts", F.timestamp_seconds(F.col("lsn")))
+            .withColumn("tool", F.lit(None).cast("string"))
+        )
+
+    table = _make_table(spark, tmp_path, n_buckets=2)
+    for i in range(4):  # versions 2..5
+        apply_batch(table, mk([(i + 1, "insert", f"c-{i}", 0, "user", f"t{i}")]), batch_id=i)
+    assert table.snapshot_id() == 5
+    table.rollback(3)  # state after batches 0,1
+    assert table.read().count() == 2
+    # post-rollback merge: version goes PAST 5, never reuses 4
+    apply_batch(table, mk([(10, "insert", "c-new", 0, "user", "post-rb")]), batch_id=2)
+    assert table.snapshot_id() == 6
+    # the abandoned v4/v5 manifests still reference their data dirs intact
+    assert os.path.isdir(os.path.join(table.root, "data", "v000000004"))
+    # expiry keeps the CURRENT chain head (6) and its parent (3);
+    # abandoned 4 and 5 are GC'd without touching live data
+    expired = table.expire_snapshots(keep_last=2)
+    assert 4 in expired and 5 in expired
+    assert table.snapshot_id() == 6
+    got = sorted(r.conv_id for r in table.read().collect())
+    assert got == ["c-0", "c-1", "c-new"]
+    # the expired-but-shared data dirs kept: v2/v3 buckets referenced by
+    # the kept manifests must still read
+    table.rollback(3)
+    assert table.read().count() == 2
 
 
 def test_expire_snapshots_and_rollback(tmp_path, spark):

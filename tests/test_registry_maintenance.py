@@ -61,15 +61,16 @@ def test_thin_keep_weekly():
     dates = [today - dt.timedelta(days=i) for i in range(0, 60)]
     keep, drop = thin_keep_weekly(dates, num_days_keep=5, num_weeklies_keep=4, today=today)
     assert keep | drop == set(dates) and not (keep & drop)
-    # the newest 5 days are all kept
-    for i in range(5):
+    # daily band is INCLUSIVE of today - num_days_keep (reference '>=')
+    for i in range(6):
         assert today - dt.timedelta(days=i) in keep
-    # older kept dates are spaced ≥ 7 days (the reference's scan rule,
-    # cleanup_dated_paths.py:42-49)
-    older = sorted(d for d in keep if d <= today - dt.timedelta(days=5))
-    gaps = [(b - a).days for a, b in zip(older, older[1:])]
+    # weekly band: older than the daily band, newer than today - 4 weeks,
+    # spaced ≥ 7 days (the reference's scan rule, cleanup_dated_paths.py:42-49)
+    weekly = sorted(d for d in keep if d < today - dt.timedelta(days=5))
+    gaps = [(b - a).days for a, b in zip(weekly, weekly[1:])]
     assert all(g >= 7 for g in gaps)
-    assert len(older) <= 5
+    assert all(d > today - dt.timedelta(weeks=4) for d in weekly)
+    assert len(weekly) == 4
 
 
 def test_reprocess_rollback_and_replay(tmp_path, spark):

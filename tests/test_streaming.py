@@ -100,6 +100,90 @@ def test_kill_resume_equals_uninterrupted(tmp_path, spark):
     pd.testing.assert_frame_equal(_final(t_int), _final(t_ref), check_dtype=False)
 
 
+def test_backfill_then_fresh_stream_not_fenced(tmp_path, spark):
+    """The ADVICE-high scenario: WAL segments absorbed via batch replay
+    (fence under writer 'wal', segment ids), then a tailer starts with a
+    FRESH checkpoint. Its early epochs (ids from 0) must apply — under a
+    shared fence they were silently no-oped while the checkpoint marked
+    the files consumed, permanently dropping those events."""
+    from open_bus_gtfs_etl_spark.operators.merge import replay_wal
+
+    ev = generate_events(
+        spark, 3000, n_conv=80, seed=17, seg_size=1000, v2_start_lsn=0,
+        dup_rate=0.03, ooo_rate=0.03,
+    )
+    wal = str(tmp_path / "wal")
+    segs = write_wal(ev, wal)
+    table = _mk(spark, tmp_path)
+    # backfill only the FIRST segment in batch mode → fences wal=seg0
+    replay_wal(spark, table, wal, segs[:1])
+    assert table.last_committed_batch("wal") == segs[0]
+    # fresh-checkpoint tailer over the whole WAL: epoch ids start at 0
+    q = start_tailer(spark, table, wal_v2_glob(wal), str(tmp_path / "ck_fresh"))
+    run_until_caught_up(q)
+    got = _final(table)
+    want = fold_events(ev.toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class _FlakyTable:
+    """Delegating wrapper that fails the first ``n_fail`` merges."""
+
+    def __init__(self, inner, n_fail):
+        self._inner = inner
+        self._left = n_fail
+
+    def merge(self, *a, **kw):
+        if self._left > 0:
+            self._left -= 1
+            raise RuntimeError("injected merge failure")
+        return self._inner.merge(*a, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_failed_merge_retries_then_succeeds(tmp_path, spark):
+    ev = generate_events(spark, 2000, n_conv=50, seed=19, seg_size=2000, v2_start_lsn=0)
+    wal = str(tmp_path / "wal")
+    write_wal(ev, wal)
+    table = _mk(spark, tmp_path)
+    lineage = LineageLog(spark, str(tmp_path / "lin"))
+    flaky = _FlakyTable(table, n_fail=2)
+    q = start_tailer(
+        spark, flaky, wal_v2_glob(wal), str(tmp_path / "ck"),
+        lineage=lineage, max_retries=2,
+    )
+    run_until_caught_up(q)
+    got = _final(table)
+    want = fold_events(ev.toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    lin = lineage.read().toPandas()
+    assert (lin[lin.partition_id == -1].success).all()  # retried to success
+
+
+def test_merge_failure_persists_error_lineage_then_raises(tmp_path, spark):
+    ev = generate_events(spark, 1000, n_conv=30, seed=23, seg_size=1000, v2_start_lsn=0)
+    wal = str(tmp_path / "wal")
+    write_wal(ev, wal)
+    table = _mk(spark, tmp_path)
+    lineage = LineageLog(spark, str(tmp_path / "lin"))
+    broken = _FlakyTable(table, n_fail=10**6)
+    q = start_tailer(
+        spark, broken, wal_v2_glob(wal), str(tmp_path / "ck"),
+        lineage=lineage, max_retries=1,
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="injected merge failure"):
+        q.processAllAvailable()
+    q.stop()
+    lin = lineage.read().toPandas()
+    bad = lin[(lin.partition_id == -1) & (~lin.success)]
+    assert len(bad) >= 1
+    assert "injected merge failure" in bad.iloc[0].error
+
+
 def test_lineage_queryable_state_machine(tmp_path, spark):
     from open_bus_gtfs_etl_spark.operators.merge import apply_batch
     from pyspark.sql import functions as F
