@@ -63,13 +63,18 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _replay_subprocess(cores: int, wal_dir: str, n_events: int, lake_root: str,
-                       n_buckets: int) -> dict:
+                       n_buckets: int, table_mode: str = "cow") -> dict:
+    env = dict(os.environ)
+    # pre-size the driver/executor JVM heap: growing from the default
+    # initial heap mid-merge costs tens of seconds of GC stalls on the
+    # first (timed) big batch in a fresh JVM
+    env["SPARK_SUBMIT_OPTS"] = (env.get("SPARK_SUBMIT_OPTS", "") + " -Xms8g").strip()
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench", "replay_once.py"),
              str(cores), wal_dir, str(n_events), lake_root, str(n_buckets),
-             "single-batch"],
-            capture_output=True, text=True, timeout=1200,
+             "single-batch", table_mode],
+            capture_output=True, text=True, timeout=1200, env=env,
         )
         line = out.stdout.strip().splitlines()[-1]
         return json.loads(line)
@@ -85,9 +90,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
     high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(low * 4)))
-    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
+    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
+    table_mode = os.environ.get("BENCH_TABLE_MODE", "cow")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    n_events = int(os.environ.get("BENCH_N_EVENTS", "4000000"))
+    n_events = int(os.environ.get("BENCH_N_EVENTS", "16000000"))
     n_buckets = int(os.environ.get("BENCH_N_BUCKETS", "32"))
     scratch_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="bench_", dir=scratch_base)
@@ -119,16 +125,22 @@ def main() -> None:
             for cores in (high, low):
                 lake = os.path.join(work, f"lake_{cores}_{len(samples[cores])}")
                 samples[cores].append(
-                    _replay_subprocess(cores, wal_dir, n_events, lake, n_buckets)
+                    _replay_subprocess(cores, wal_dir, n_events, lake, n_buckets,
+                                       table_mode)
                 )
                 shutil.rmtree(lake, ignore_errors=True)
+        # one merge-on-read sample at the high level: the steady-state
+        # apply cost of the MoR design (O(batch) writes, no target join)
+        mor_lake = os.path.join(work, "lake_mor")
+        mor = _replay_subprocess(high, wal_dir, n_events, mor_lake, n_buckets, "mor")
+        shutil.rmtree(mor_lake, ignore_errors=True)
 
         best = {c: max(s["events_per_sec"] for s in samples[c]) for c in (low, high)}
         eff = (best[high] / best[low]) / (high / low) if best[low] else None
         out = {
             "metric": "change-events/sec",
             "value": best[high],
-            "unit": "sec",
+            "unit": "events/sec",
             "queries": queries,
             "sf": sf,
             "replay": {
@@ -136,6 +148,8 @@ def main() -> None:
                 "n_segments": len(segs),
                 "n_buckets": n_buckets,
                 "mode": "single-batch",
+                "table_mode": table_mode,
+                "mor_events_per_sec_high": mor.get("events_per_sec"),
             },
             "scaling": {
                 "cpus_low": low,

@@ -1,6 +1,12 @@
 """Run ONE CDC replay at a given parallelism in a fresh process.
 
-Usage: python bench/replay_once.py <cores> <wal_dir> <n_events> <lake_root> [n_buckets] [mode]
+Usage: python bench/replay_once.py <cores> <wal_dir> <n_events> <lake_root>
+       [n_buckets] [mode] [table_mode]
+
+table_mode: "cow" (default) pays the full merge (join + bucket
+rewrite); "mor" appends LWW-resolved deltas (the steady-state apply
+cost of the merge-on-read design; read/compaction cost excluded and
+reported separately by the final read count).
 
 mode: "per-segment" (default) replays each WAL segment as its own
 fenced batch; "single-batch" applies the whole WAL as one batch —
@@ -34,6 +40,10 @@ def main() -> None:
     from open_bus_gtfs_etl_spark.session import get_spark
     from open_bus_gtfs_etl_spark.sources.lake import SnapshotParquetTable
 
+    def _phase(name, t0):
+        print(f"phase {name}: {round(time.time() - t0, 1)}s", file=sys.stderr, flush=True)
+
+    t0 = time.time()
     spark = get_spark(
         app_name=f"replay_{cores}",
         master=f"local[{cores}]",
@@ -41,6 +51,7 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.range(1000).count()
+    _phase("session", t0)
     # JIT warm-up: run a miniature generate→dedup→merge so the timed
     # section measures steady-state throughput, not bytecode compilation
     import tempfile
@@ -53,9 +64,11 @@ def main() -> None:
         spark, os.path.join(warm_dir, "lake"), TRANSCRIPTS_SCHEMA,
         key_cols=["conv_id", "turn_idx"], n_buckets=4,
     )
+    t0 = time.time()
     warm_ev = generate_events(spark, 50_000, n_conv=2_000, seed=7, dup_rate=0.02)
     apply_batch(warm_tbl, warm_ev.drop("seg"), batch_id=0)
     apply_batch(warm_tbl, warm_ev.drop("seg").limit(10_000), batch_id=1)
+    _phase("warmup", t0)
 
     segs = sorted(
         {
@@ -67,9 +80,10 @@ def main() -> None:
         }
     )
     mode = sys.argv[6] if len(sys.argv) > 6 else "per-segment"
+    table_mode = sys.argv[7] if len(sys.argv) > 7 else "cow"
     table = SnapshotParquetTable.create(
         spark, lake_root, TRANSCRIPTS_SCHEMA,
-        key_cols=["conv_id", "turn_idx"], n_buckets=n_buckets,
+        key_cols=["conv_id", "turn_idx"], n_buckets=n_buckets, mode=table_mode,
     )
     if mode == "single-batch":
         from open_bus_gtfs_etl_spark.genlog import read_wal_segment
@@ -79,20 +93,26 @@ def main() -> None:
             p = read_wal_segment(spark, wal_dir, seg)
             batch = p if batch is None else batch.unionByName(p)
         t0 = time.time()
-        apply_batch(table, batch, batch_id=0)
+        st = apply_batch(table, batch, batch_id=0)
         elapsed = time.time() - t0
+        n_applied = st.get("n_source_rows") or n_events
     else:
         t0 = time.time()
-        replay_wal(spark, table, wal_dir, segs)
+        sts = replay_wal(spark, table, wal_dir, segs)
         elapsed = time.time() - t0
+        n_applied = sum(s.get("n_source_rows") or 0 for s in sts) or n_events
     final_rows = table.read().count()
     print(
         json.dumps(
             {
                 "cores": cores,
                 "mode": mode,
+                "table_mode": table_mode,
                 "elapsed_sec": round(elapsed, 3),
-                "events_per_sec": round(n_events / elapsed, 1),
+                # rate over the rows actually applied (generated events
+                # PLUS duplicate deliveries), not the nominal n_events
+                "events_per_sec": round(n_applied / elapsed, 1),
+                "n_applied": n_applied,
                 "n_segments": len(segs),
                 "final_rows": final_rows,
             }

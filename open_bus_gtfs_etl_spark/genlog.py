@@ -166,7 +166,7 @@ def generate_events(
     return out
 
 
-def write_wal(events: DataFrame, wal_dir: str) -> list[int]:
+def write_wal(events: DataFrame, wal_dir: str, manifests: bool = True) -> list[int]:
     """Write events as parquet WAL segments: one directory per segment
     (``seg=N``), the analogue of the reference's dated Y/M/D file-drop
     layout (common.py:51-65). Returns sorted segment ids.
@@ -174,15 +174,85 @@ def write_wal(events: DataFrame, wal_dir: str) -> list[int]:
     schema_ver=1 events are written WITHOUT the ``tool`` column — the
     physical files really do have the old schema, so the reader's
     schema-evolution path is exercised for real, not simulated.
+
+    With ``manifests``, each ``seg=N`` directory gets a ``_SEGMENT.json``
+    recording the expected row count — the completeness token the replay
+    gate checks before ingesting (the reference refuses a date unless
+    all 4 expected files exist with size>1000,
+    update_gtfs_data_db.py:33-47; a producer-written manifest is the
+    WAL-segment equivalent of "all files present and big enough").
     """
+    import json
+
     v1 = events.where((F.col("schema_ver") == 1)).drop("tool")
     v2 = events.where(F.col("schema_ver") == 2)
     v1.write.mode("append").partitionBy("seg").parquet(os.path.join(wal_dir, "v1"))
     v2.write.mode("append").partitionBy("seg").parquet(os.path.join(wal_dir, "v2"))
-    segs = sorted(
-        {int(r.seg) for r in events.select("seg").distinct().collect()}
-    )
+    counts = {
+        (r["ver"], int(r["seg"])): r["n"]
+        for r in (
+            events.groupBy(
+                F.when(F.col("schema_ver") == 1, "v1").otherwise("v2").alias("ver"),
+                "seg",
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    segs = sorted({s for (_, s) in counts})
+    if manifests:
+        for (ver, seg), n in counts.items():
+            seg_dir = os.path.join(wal_dir, ver, f"seg={seg}")
+            if os.path.isdir(seg_dir):
+                tmp = os.path.join(seg_dir, "_SEGMENT.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump({"seg": seg, "ver": ver, "n_rows": int(n)}, f)
+                os.replace(tmp, os.path.join(seg_dir, "_SEGMENT.json"))
     return segs
+
+
+def validate_segment(wal_dir: str, seg: int) -> tuple[bool, str | None]:
+    """Completeness gate for one WAL segment (reference S8 semantics,
+    update_gtfs_data_db.py:33-47): every version dir present for the
+    segment must carry a producer manifest whose expected row count
+    matches the parquet footers' actual total. Pure driver-side metadata
+    reads (pyarrow footers) — no Spark job. Returns (ok, reason)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    found_any = False
+    for ver in ("v1", "v2"):
+        seg_dir = os.path.join(wal_dir, ver, f"seg={seg}")
+        if not os.path.isdir(seg_dir):
+            continue
+        found_any = True
+        man_path = os.path.join(seg_dir, "_SEGMENT.json")
+        if not os.path.exists(man_path):
+            return False, f"{ver}/seg={seg}: missing _SEGMENT.json manifest"
+        with open(man_path) as f:
+            man = json.load(f)
+        files = [
+            os.path.join(seg_dir, n)
+            for n in os.listdir(seg_dir)
+            if n.endswith(".parquet")
+        ]
+        if any(os.path.getsize(p) == 0 for p in files):
+            return False, f"{ver}/seg={seg}: zero-byte data file"
+        actual = 0
+        for p in files:
+            try:
+                actual += pq.ParquetFile(p).metadata.num_rows
+            except Exception as e:  # noqa: BLE001 - truncated/corrupt footer
+                return False, f"{ver}/seg={seg}: unreadable parquet {os.path.basename(p)}: {e}"
+        if actual != man["n_rows"]:
+            return False, (
+                f"{ver}/seg={seg}: incomplete — manifest expects {man['n_rows']} rows, "
+                f"files hold {actual}"
+            )
+    if not found_any:
+        return False, f"seg={seg}: no version directory found"
+    return True, None
 
 
 def read_wal_segment(spark: SparkSession, wal_dir: str, seg: int) -> DataFrame:

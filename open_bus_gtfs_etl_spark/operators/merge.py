@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..schema import KEY_COLS, VALUE_COLS
-from .dedup import lww_dedup_agg, lww_dedup_salted
+from .dedup import lww_dedup_agg, lww_dedup_argmax_join, lww_dedup_salted
 
 
 def align_to_schema(batch: DataFrame, stored_schema) -> DataFrame:
@@ -42,11 +42,20 @@ def apply_batch(
     value_cols: list[str] | None = None,
     salted: bool = False,
     n_salts: int = 16,
-    stats: bool = True,
+    stats: bool | str = True,
     writer: str = "default",
     auto_evolve: bool = True,
+    dedup: str = "argmax",
 ) -> dict:
     """Apply one micro-batch of change events to ``table``.
+
+    ``dedup`` picks the LWW implementation: "argmax" (default — the
+    aggregation shuffles keys+longs only and the wide text payload is
+    joined back for winners; max_by(struct) carries the full payload
+    through the aggregation buffer on the non-codegen path and measured
+    ~10× slower at 1KB texts) or "agg" (max_by — correct for feeds
+    whose lsn is NOT unique per key event, where argmax's winning-lsn
+    join-back could tie).
 
     ``batch`` columns: key cols + value cols + (op, lsn, ts). Returns the
     merge stats dict (plus dedup count when ``stats``). Fencing lives in
@@ -77,25 +86,54 @@ def apply_batch(
 
     if salted:
         winners = lww_dedup_salted(batch, key_cols, payload, n_salts=n_salts)
-    else:
+    elif dedup == "argmax":
         # carry_stats folds batch-size/lsn-range counters into the same
         # aggregation pass — no second scan of the batch for lineage
-        winners = lww_dedup_agg(batch, key_cols, payload, carry_stats=stats)
+        winners = lww_dedup_argmax_join(
+            batch, key_cols, payload, carry_stats=bool(stats)
+        )
+    else:
+        winners = lww_dedup_agg(batch, key_cols, payload, carry_stats=bool(stats))
 
     st = table.merge(winners, batch_id=batch_id, stats=stats, writer=writer)
     if stats and not st.get("skipped_fenced"):
-        n_winners = (
-            st["rows_inserted"]
-            + st["rows_updated"]
-            + st["rows_deleted"]
-            + st["rows_stale_skipped"]
-            + st.get("rows_delete_noop", 0)
-        )
+        if "rows_upserted" in st:  # merge-on-read: no outcome split
+            n_winners = st["rows_upserted"] + st["rows_deleted"]
+        else:
+            n_winners = (
+                st["rows_inserted"]
+                + st["rows_updated"]
+                + st["rows_deleted"]
+                + st["rows_stale_skipped"]
+                + st.get("rows_delete_noop", 0)
+            )
         if "n_source_rows" in st:
             st["rows_deduped"] = st["n_source_rows"] - n_winners
         else:
             st["rows_deduped"] = None
     return st
+
+
+class StaleResumeError(RuntimeError):
+    """Resume gap exceeds tolerance (reference J10: reject a snapshot
+    gap > 10 days, idempotent_process.py:100-102)."""
+
+
+def check_resume_gap(table, batch, max_lsn_gap: int):
+    """Guard against resuming across a data hole: if the batch's lowest
+    lsn is more than ``max_lsn_gap`` past the table's highest applied
+    lsn, segments in between are missing and applying would silently
+    skip history. One tiny min() aggregate — only runs when the guard
+    is requested."""
+    applied = table.manifest().get("lsn_max")
+    if applied is None:
+        return
+    lo = batch.agg(F.min("lsn").alias("lo")).collect()[0]["lo"]
+    if lo is not None and lo - applied > max_lsn_gap:
+        raise StaleResumeError(
+            f"resume gap too large: batch starts at lsn {lo}, table applied up to "
+            f"{applied}, tolerance {max_lsn_gap} (missing WAL in between?)"
+        )
 
 
 def replay_wal(
@@ -106,6 +144,11 @@ def replay_wal(
     salted: bool = False,
     start_batch_id: int | None = None,
     writer: str = "wal",
+    validate: bool = False,
+    lineage=None,
+    newest_first: bool = False,
+    min_plausible_rows: int | None = None,
+    max_lsn_gap: int | None = None,
 ) -> list[dict]:
     """Batch replay of a WAL segment range through the merge kernel —
     the backfill path (reference R2, load_missing_data.py:16-54: walk a
@@ -113,13 +156,67 @@ def replay_wal(
     as batch id, so replaying an already-applied prefix is fenced out.
     The fence is namespaced under ``writer="wal"`` so a later streaming
     tailer (epoch ids from 0) is never fenced out by replayed segment ids.
-    """
-    from ..genlog import read_wal_segment
 
+    Reference-parity gates (each opt-in):
+    - ``validate``: refuse an incomplete/truncated segment BEFORE
+      ingesting it; the rejection is recorded to ``lineage`` and the
+      segment skipped, not merged (reference S8: a date is valid only
+      if all 4 files exist with size>1000, update_gtfs_data_db.py:33-47).
+    - ``min_plausible_rows``: a merge that applied fewer winners is
+      recorded success=False (reference A3: >1000 ride-stops before a
+      date counts as processed, update_gtfs_data_db.py:114-122).
+    - ``max_lsn_gap``: raise StaleResumeError on a resume hole
+      (reference J10 tolerance, idempotent_process.py:100-102).
+    - ``newest_first``: process segments newest-first, skipping those
+      whose lineage row already succeeded (reference W2: restart from
+      today after each processed date, idempotent_process.py:133-138).
+      Row-level lsn gating makes out-of-order segment application safe;
+      batch fencing switches to the lineage success set, so a failed
+      segment is retried on the next sweep exactly like the reference's
+      unprocessed dates.
+    """
+    from ..genlog import read_wal_segment, validate_segment
+
+    order = sorted(segments, reverse=True) if newest_first else list(segments)
+    done: set[int] = set()
+    if newest_first and lineage is not None:
+        done = lineage.successful_batches()
     stats = []
-    for seg in segments:
+    for seg in order:
+        if seg in done:
+            stats.append({"batch_id": seg, "skipped_lineage": True})
+            continue
+        if validate:
+            ok, reason = validate_segment(wal_dir, seg)
+            if not ok:
+                st = {"batch_id": seg, "rejected": True, "error": reason}
+                if lineage is not None:
+                    lineage.record(seg, {"skipped_fenced": True}, error=reason)
+                stats.append(st)
+                continue
         batch = read_wal_segment(spark, wal_dir, seg)
-        st = apply_batch(table, batch, batch_id=seg, salted=salted, writer=writer)
+        if max_lsn_gap is not None:
+            check_resume_gap(table, batch, max_lsn_gap)
+        st = apply_batch(
+            table, batch,
+            batch_id=None if newest_first else seg,
+            salted=salted, writer=writer,
+        )
         st["batch_id"] = seg
+        if min_plausible_rows is not None and not st.get("skipped_fenced"):
+            applied = (st.get("rows_upserted", 0) + st.get("rows_deleted", 0)) or (
+                st.get("rows_inserted", 0)
+                + st.get("rows_updated", 0)
+                + st.get("rows_deleted", 0)
+            )
+            if applied < min_plausible_rows:
+                st["plausibility_failed"] = True
+        if lineage is not None:
+            err = (
+                f"plausibility: {st} below min_plausible_rows={min_plausible_rows}"
+                if st.get("plausibility_failed")
+                else None
+            )
+            lineage.record(seg, st, error=err)
         stats.append(st)
     return stats

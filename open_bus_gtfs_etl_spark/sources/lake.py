@@ -71,10 +71,22 @@ class SnapshotParquetTable:
         key_cols: list[str],
         n_buckets: int = 32,
         internal_cols: bool = True,
+        mode: str = "cow",
     ) -> "SnapshotParquetTable":
         """Create an empty table. ``schema`` is the USER schema; the
         engine appends its internal columns (_lsn, _ts, _deleted) used
         for cross-batch out-of-order gating and tombstones.
+
+        ``mode``:
+        - "cow" (copy-on-write): MERGE full-outer-joins the batch with
+          the touched buckets and rewrites them — reads pay nothing,
+          but steady-state write volume approaches table size per batch
+          once most buckets are touched (the 100 TB scale killer).
+        - "mor" (merge-on-read): MERGE appends the deduped winners as a
+          DELTA per touched bucket — write volume is O(batch), the
+          Iceberg merge-on-read analogue; reads resolve base+deltas by
+          LWW on (_lsn, _ts) and ``compact()`` folds deltas back into
+          the base to bound read cost.
         """
         t = cls(spark, root)
         os.makedirs(t._manifest_dir, exist_ok=True)
@@ -99,8 +111,12 @@ class SnapshotParquetTable:
                 else []
             )
         )
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown table mode {mode!r}")
         manifest = {
             "version": 1,
+            "mode": mode,
+            "deltas": {},
             "last_committed_batch_id": -1,
             # per-writer fences: batch replay (WAL segment ids) and each
             # streaming checkpoint (epoch ids from 0) fence independently
@@ -180,19 +196,39 @@ class SnapshotParquetTable:
     def read_stored(self, buckets: list[int] | None = None) -> DataFrame:
         """Read stored rows (incl. tombstones + internal cols), optionally
         restricted to a bucket subset (the MERGE partition-pruning path).
+        In merge-on-read mode, base and delta files are unioned and
+        resolved to one winner per key by LWW on (_lsn, _ts) — the same
+        argmax-join plan the write-side dedup uses (keys+longs shuffle,
+        payload joined back).
         """
         m = self.manifest()
         schema = self.stored_schema()
+        want = None if buckets is None else {str(b) for b in buckets}
         sel = m["buckets"]
-        if buckets is not None:
-            want = {str(b) for b in buckets}
+        if want is not None:
             sel = {k: v for k, v in sel.items() if k in want}
         paths = [os.path.join(self.root, rel) for rel in sel.values()]
+        delta_rels = [
+            rel
+            for b, rels in m.get("deltas", {}).items()
+            if want is None or b in want
+            for rel in rels
+        ]
+        paths += [os.path.join(self.root, rel) for rel in delta_rels]
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema).parquet(*paths)
-        return df.select([f.name for f in schema.fields])
+        df = df.select([f.name for f in schema.fields])
+        if delta_rels:
+            from ..operators.dedup import lww_dedup_argmax_join
+
+            key_cols = m["key_cols"]
+            payload = [f.name for f in schema.fields if f.name not in key_cols]
+            df = lww_dedup_argmax_join(
+                df, key_cols, payload, lsn_col="_lsn", ts_col="_ts"
+            ).select([f.name for f in schema.fields])
+        return df
 
     def read(self) -> DataFrame:
         """User view: live rows only, user columns only."""
@@ -207,7 +243,7 @@ class SnapshotParquetTable:
         self,
         winners: DataFrame,
         batch_id: int,
-        stats: bool = True,
+        stats: bool | str = True,
         writer: str = "default",
     ) -> dict:
         """Copy-on-write MERGE of a pre-deduplicated batch of winners.
@@ -247,6 +283,9 @@ class SnapshotParquetTable:
                 "rows_stale_skipped": 0,
             }
 
+        if m.get("mode") == "mor":
+            return self._merge_mor(winners, batch_id, m, stats, writer)
+
         key_cols = m["key_cols"]
         user_cols = m["user_cols"]
         n_buckets = m["n_buckets"]
@@ -258,12 +297,27 @@ class SnapshotParquetTable:
         # rewrite join) — persist once instead of recomputing the dedup
         # shuffle twice
         from pyspark import StorageLevel
+        from pyspark.sql import Observation
 
-        src = src.persist(StorageLevel.MEMORY_AND_DISK)
-        # touched-bucket pruning: tiny collect (≤ n_buckets values)
-        touched = sorted(
-            r[BUCKET_COL] for r in src.select(BUCKET_COL).distinct().collect()
-        )
+        carry = "_n_dups" in src.columns
+        # touched buckets + batch-level source counters ride the cache-
+        # materialization job as an Observation: the round-1 kernel paid
+        # a separate distinct() shuffle for the bucket set and a third
+        # job reading the written files back for counters — both serial
+        # floor at high parallelism
+        obs_src = Observation()
+        src_exprs = [F.collect_set(BUCKET_COL).alias("touched")]
+        if carry:
+            src_exprs += [
+                F.sum("_n_dups").alias("n_source_rows"),
+                F.count("*").alias("n_winners"),
+                F.min("_lsn_min").alias("lsn_min"),
+                F.max("_lsn_max").alias("lsn_max"),
+            ]
+        src = src.observe(obs_src, *src_exprs).persist(StorageLevel.MEMORY_AND_DISK)
+        src.count()  # materialize cache + fire the observation
+        src_stats = obs_src.get
+        touched = sorted(src_stats["touched"])
         tgt = self.read_stored(buckets=touched)
 
         s = src.alias("s")
@@ -292,7 +346,6 @@ class SnapshotParquetTable:
             .when(t_live, F.lit("updated"))
             .otherwise(F.lit("inserted"))
         )
-        carry = "_n_dups" in src.columns
         src_rows = F.col("s._n_dups") if carry else F.lit(None).cast("long")
         src_lsn_min = F.col("s._lsn_min") if carry else F.lit(None).cast("long")
         src_lsn_max = F.col("s._lsn_max") if carry else F.lit(None).cast("long")
@@ -322,6 +375,21 @@ class SnapshotParquetTable:
             BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
         )
 
+        # outcome counters ride the write job as an Observation — no
+        # read-back job; the round-1 kernel re-read the written files
+        obs_out = Observation()
+        if stats:
+            def _n(outcome: str) -> F.Column:
+                return F.sum(
+                    F.when(F.col("_outcome") == outcome, 1).otherwise(0)
+                ).alias(outcome)
+
+            merged = merged.observe(
+                obs_out,
+                _n("inserted"), _n("updated"), _n("deleted"),
+                _n("stale_skipped"), _n("delete_noop"),
+            )
+
         # allocate past the global max, never m["version"]+1: after a
         # rollback the chain head is old, and reusing an abandoned
         # version number would overwrite-wipe data dirs its manifest
@@ -339,73 +407,53 @@ class SnapshotParquetTable:
 
         stat = {"skipped_fenced": False, "version": new_version}
         if stats:
-            # columnar read-back of ONLY the stats columns of the files
-            # this merge just wrote (parquet column pruning keeps this to
-            # a few bytes per row)
-            new_files = self.spark.read.parquet(out_path)
+            counts = obs_out.get
+            stat.update(
+                rows_inserted=int(counts["inserted"] or 0),
+                rows_updated=int(counts["updated"] or 0),
+                rows_deleted=int(counts["deleted"] or 0),
+                rows_stale_skipped=int(counts["stale_skipped"] or 0),
+                rows_delete_noop=int(counts["delete_noop"] or 0),
+            )
+            if carry:
+                stat["n_source_rows"] = int(src_stats["n_source_rows"] or 0)
+                stat["lsn_min"] = src_stats["lsn_min"]
+                stat["lsn_max"] = src_stats["lsn_max"]
+        if stats == "per_bucket":
+            # opt-in columnar read-back of ONLY the stats columns of the
+            # files this merge just wrote — the per-partition lineage
+            # breakdown (parquet column pruning keeps this to a few
+            # bytes per row); the default path pays no extra job
             det = (
-                new_files.groupBy(BUCKET_COL, "_outcome")
+                self.spark.read.parquet(out_path)
+                .groupBy(BUCKET_COL, "_outcome")
                 .agg(
                     F.count("*").alias("n"),
-                    F.sum("_src_rows").alias("n_src"),
                     F.min("_src_lsn_min").alias("lsn_min"),
                     F.max("_src_lsn_max").alias("lsn_max"),
                 )
                 .collect()
             )
-            # fold per-(bucket, outcome) detail into global counters plus
-            # the per-partition breakdown the lineage table records
             per_bucket: dict[int, dict] = {}
-            agg_rows: dict[str, dict] = {}
             for r in det:
                 b, o = r[BUCKET_COL], r["_outcome"]
-                pb = per_bucket.setdefault(
-                    int(b), {"lsn_min": None, "lsn_max": None}
-                )
+                pb = per_bucket.setdefault(int(b), {"lsn_min": None, "lsn_max": None})
                 pb[o] = pb.get(o, 0) + r["n"]
-                if r["lsn_min"] is not None:
-                    pb["lsn_min"] = min(
-                        (x for x in (pb["lsn_min"], r["lsn_min"]) if x is not None)
-                    )
-                if r["lsn_max"] is not None:
-                    pb["lsn_max"] = max(
-                        (x for x in (pb["lsn_max"], r["lsn_max"]) if x is not None)
-                    )
-                g = agg_rows.setdefault(
-                    o, {"n": 0, "n_src": 0, "lsn_min": None, "lsn_max": None}
-                )
-                g["n"] += r["n"]
-                g["n_src"] += r["n_src"] or 0
                 for k, fn in (("lsn_min", min), ("lsn_max", max)):
                     if r[k] is not None:
-                        g[k] = fn(x for x in (g[k], r[k]) if x is not None)
-            rows = [
-                {"_outcome": o, "n": g["n"], "n_src": g["n_src"],
-                 "lsn_min": g["lsn_min"], "lsn_max": g["lsn_max"]}
-                for o, g in agg_rows.items()
-            ]
-            counts = {r["_outcome"]: r["n"] for r in rows}
+                        pb[k] = fn(x for x in (pb[k], r[k]) if x is not None)
             stat["per_bucket"] = per_bucket
-            stat.update(
-                rows_inserted=counts.get("inserted", 0),
-                rows_updated=counts.get("updated", 0),
-                rows_deleted=counts.get("deleted", 0),
-                rows_stale_skipped=counts.get("stale_skipped", 0),
-                rows_delete_noop=counts.get("delete_noop", 0),
-            )
-            if carry:
-                srcs = [r for r in rows if r["_outcome"] != "carried"]
-                stat["n_source_rows"] = sum(r["n_src"] or 0 for r in srcs)
-                lsn_mins = [r["lsn_min"] for r in srcs if r["lsn_min"] is not None]
-                lsn_maxs = [r["lsn_max"] for r in srcs if r["lsn_max"] is not None]
-                stat["lsn_min"] = min(lsn_mins, default=None)
-                stat["lsn_max"] = max(lsn_maxs, default=None)
 
         new_buckets = dict(m["buckets"])
         for b in touched:
             new_buckets[str(b)] = os.path.join(rel_data, f"{BUCKET_COL}={b}")
         if batch_id is not None:
             fences[writer] = batch_id
+        lsn_max = m.get("lsn_max")
+        if carry and src_stats["lsn_max"] is not None:
+            lsn_max = max(
+                x for x in (lsn_max, src_stats["lsn_max"]) if x is not None
+            )
         new_manifest = {
             **m,
             "version": new_version,
@@ -415,12 +463,182 @@ class SnapshotParquetTable:
                 else m.get("last_committed_batch_id", -1)
             ),
             "fences": fences,
+            "lsn_max": lsn_max,
             "buckets": new_buckets,
             "parent": m["version"],
         }
         self._write_manifest(new_manifest)
         src.unpersist()
         return stat
+
+    def _merge_mor(
+        self,
+        winners: DataFrame,
+        batch_id: int,
+        m: dict,
+        stats: bool | str,
+        writer: str,
+    ) -> dict:
+        """Merge-on-read apply: append the deduped winners as a DELTA,
+        one directory per touched bucket — ONE Spark job, no read of the
+        target, write volume O(batch) instead of O(table). Out-of-order
+        and cross-batch LWW resolve at read time (read_stored); a stale
+        event simply loses the read-side argmax. Outcome split
+        (insert vs update vs stale) is therefore not knowable here —
+        the stat reports upserts/deletes written instead.
+        """
+        from pyspark.sql import Observation
+
+        key_cols = m["key_cols"]
+        n_buckets = m["n_buckets"]
+        types = {f.name: f.dataType for f in self.stored_schema().fields}
+        carry = "_n_dups" in winners.columns
+
+        is_del = F.col("op") == "delete"
+        cols = []
+        for name in [f.name for f in self.stored_schema().fields]:
+            if name in key_cols:
+                cols.append(F.col(name))
+            elif name == "_lsn":
+                cols.append(F.col("lsn").alias("_lsn"))
+            elif name == "_ts":
+                cols.append(F.col("ts").alias("_ts"))
+            elif name == "_deleted":
+                cols.append(is_del.alias("_deleted"))
+            elif name == "_outcome":
+                cols.append(
+                    F.when(is_del, F.lit("deleted")).otherwise(F.lit("upserted")).alias("_outcome")
+                )
+            elif name == "_src_rows":
+                cols.append(
+                    (F.col("_n_dups") if carry else F.lit(None).cast("long")).alias("_src_rows")
+                )
+            elif name == "_src_lsn_min":
+                cols.append(
+                    (F.col("_lsn_min") if carry else F.lit(None).cast("long")).alias("_src_lsn_min")
+                )
+            elif name == "_src_lsn_max":
+                cols.append(
+                    (F.col("_lsn_max") if carry else F.lit(None).cast("long")).alias("_src_lsn_max")
+                )
+            elif name in winners.columns:
+                cols.append(
+                    F.when(is_del, F.lit(None).cast(types[name]))
+                    .otherwise(F.col(name))
+                    .alias(name)
+                )
+            else:
+                cols.append(F.lit(None).cast(types[name]).alias(name))
+        delta = winners.select(*cols).withColumn(
+            BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
+        )
+
+        obs = Observation()
+        exprs = [
+            F.collect_set(BUCKET_COL).alias("touched"),
+            F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deleted"),
+            F.count("*").alias("n_winners"),
+        ]
+        if carry:
+            exprs += [
+                F.sum("_src_rows").alias("n_source_rows"),
+                F.min("_src_lsn_min").alias("lsn_min"),
+                F.max("_src_lsn_max").alias("lsn_max"),
+            ]
+        delta = delta.observe(obs, *exprs)
+
+        new_version = max(m["version"], self._max_version()) + 1
+        rel_data = os.path.join("data", f"v{new_version:09d}")
+        out_path = os.path.join(self.root, rel_data)
+        (
+            delta.repartition(n_buckets, F.col(BUCKET_COL))
+            .sortWithinPartitions(*key_cols)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_path)
+        )
+        got = obs.get
+        touched = sorted(got["touched"])
+
+        stat = {"skipped_fenced": False, "version": new_version, "mode": "mor"}
+        if stats:
+            stat.update(
+                rows_upserted=int(got["n_winners"] or 0) - int(got["deleted"] or 0),
+                rows_deleted=int(got["deleted"] or 0),
+            )
+            if carry:
+                stat["n_source_rows"] = int(got["n_source_rows"] or 0)
+                stat["lsn_min"] = got["lsn_min"]
+                stat["lsn_max"] = got["lsn_max"]
+
+        fences = dict(m.get("fences", {}))
+        if batch_id is not None:
+            fences[writer] = batch_id
+        new_deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        for b in touched:
+            new_deltas.setdefault(str(b), []).append(
+                os.path.join(rel_data, f"{BUCKET_COL}={b}")
+            )
+        lsn_max = m.get("lsn_max")
+        if carry and got["lsn_max"] is not None:
+            lsn_max = max(x for x in (lsn_max, got["lsn_max"]) if x is not None)
+        new_manifest = {
+            **m,
+            "version": new_version,
+            "last_committed_batch_id": (
+                batch_id
+                if batch_id is not None and writer == "default"
+                else m.get("last_committed_batch_id", -1)
+            ),
+            "fences": fences,
+            "lsn_max": lsn_max,
+            "deltas": new_deltas,
+            "parent": m["version"],
+        }
+        self._write_manifest(new_manifest)
+        return stat
+
+    def compact(self, max_deltas: int = 0) -> list[int]:
+        """Fold deltas back into the base (the Iceberg MoR compaction
+        analogue): buckets holding more than ``max_deltas`` delta dirs
+        are resolved (read-side LWW) and rewritten as a fresh base, and
+        their delta list cleared. Returns the compacted bucket ids.
+        Amortizes read cost: run on a cadence or when delta counts pass
+        a threshold; the rewrite is the CoW cost paid once per N batches
+        instead of every batch."""
+        m = self.manifest()
+        todo = sorted(
+            int(b) for b, rels in m.get("deltas", {}).items() if len(rels) > max_deltas
+        )
+        if not todo:
+            return []
+        resolved = self.read_stored(buckets=todo).withColumn(
+            BUCKET_COL, bucket_expr(m["key_cols"][0], m["n_buckets"])
+        )
+        new_version = max(m["version"], self._max_version()) + 1
+        rel_data = os.path.join("data", f"v{new_version:09d}")
+        out_path = os.path.join(self.root, rel_data)
+        (
+            resolved.repartition(max(1, len(todo)), F.col(BUCKET_COL))
+            .sortWithinPartitions(*m["key_cols"])
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_path)
+        )
+        new_buckets = dict(m["buckets"])
+        new_deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        for b in todo:
+            new_buckets[str(b)] = os.path.join(rel_data, f"{BUCKET_COL}={b}")
+            new_deltas.pop(str(b), None)
+        new_manifest = {
+            **m,
+            "version": new_version,
+            "buckets": new_buckets,
+            "deltas": new_deltas,
+            "parent": m["version"],
+        }
+        self._write_manifest(new_manifest)
+        return todo
 
     # ------------------------------------------------------ schema evolution
     def evolve_schema(self, new_fields: list[T.StructField]) -> int:
@@ -487,7 +705,10 @@ class SnapshotParquetTable:
             with open(os.path.join(self._manifest_dir, n)) as f:
                 man = json.load(f)
             if man["version"] in keep_versions:
-                for rel in man["buckets"].values():
+                rels = list(man["buckets"].values())
+                for drels in man.get("deltas", {}).values():
+                    rels += drels
+                for rel in rels:
                     referenced.add(rel.split(os.sep + BUCKET_COL + "=")[0])
             else:
                 expired.append(man["version"])

@@ -44,7 +44,11 @@ class LineageLog:
             return {
                 **base,
                 "partition_id": partition_id,
-                "rows_inserted": int(src.get("rows_inserted", src.get("inserted", 0)) or 0),
+                # MoR merges report an undifferentiated upsert count
+                "rows_inserted": int(
+                    src.get("rows_inserted", src.get("inserted", src.get("rows_upserted", 0)))
+                    or 0
+                ),
                 "rows_updated": int(src.get("rows_updated", src.get("updated", 0)) or 0),
                 "rows_deleted": int(src.get("rows_deleted", src.get("deleted", 0)) or 0),
                 "rows_deduped": int(stat.get("rows_deduped") or 0) if partition_id == -1 else 0,
@@ -63,6 +67,24 @@ class LineageLog:
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.root)
+
+    def successful_batches(self) -> set[int]:
+        """Batch ids with a successful batch-level row — the skip set
+        for newest-first replay (the reference's 'date already
+        processed' check, idempotent_process.py:97-98)."""
+        from pyspark.sql import functions as F
+
+        try:
+            rows = (
+                self.read()
+                .where(F.col("success") & (F.col("partition_id") == -1))
+                .select("batch_id")
+                .distinct()
+                .collect()
+            )
+        except Exception:  # noqa: BLE001 - empty log dir
+            return set()
+        return {int(r.batch_id) for r in rows}
 
     def last_successful_batch(self) -> int | None:
         """W1/J10 shape: latest successful batch (the as-of 'nearest

@@ -90,9 +90,12 @@ def start_tailer(
         attempt = 0
         while True:
             try:
+                # "per_bucket" buys the per-partition lineage breakdown
+                # for one cheap columnar job per (small) streaming batch
                 st = apply_batch(
                     table, batch_df, batch_id=batch_id, salted=salted,
                     writer=fence_writer,
+                    stats="per_bucket" if lineage is not None else True,
                 )
                 if lineage is not None:
                     lineage.record(batch_id, st)

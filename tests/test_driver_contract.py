@@ -1,6 +1,8 @@
 """Runs every queries()/oracle_sql() pair at sf0.001 and compares via
-the local emulation of the driver's gate (rowcount + columns + order-
-insensitive values). Mirrors SURVEY.md §5 item 5.
+the STRICT local emulation of the driver's gate (rowcount + columns +
+bit-exact values through the pandas result path — the same
+representation level the driver's value hash sees). Mirrors SURVEY.md
+§5 item 5.
 """
 
 from __future__ import annotations
@@ -8,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
-from open_bus_gtfs_etl_spark.plans.parity import compare, duckdb_con
+from open_bus_gtfs_etl_spark.plans.parity import compare_strict, duckdb_con
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -40,5 +42,5 @@ def test_query_parity(spark, con, name):
     if sql is None:
         assert df.count() >= 0
         return
-    res = compare(df, con, sql)
+    res = compare_strict(df, con, sql)
     assert res["match"], f"{name}: {res['detail']}"
