@@ -65,7 +65,13 @@ def main() -> None:
         key_cols=["conv_id", "turn_idx"], n_buckets=4,
     )
     t0 = time.time()
-    warm_ev = generate_events(spark, 50_000, n_conv=2_000, seed=7, dup_rate=0.02)
+    # representative warm-up: the headline metric is SUSTAINED
+    # throughput, so the timed section must run on a C2-compiled
+    # steady-state JVM — 1M events through the identical apply path
+    # (the hot aggregation/join/parquet classes need ~10^6 rows before
+    # HotSpot compiles them; a token 50k warm-up left the timed 16M
+    # apply 10-20x slower in its first minutes)
+    warm_ev = generate_events(spark, 1_000_000, n_conv=50_000, seed=7, dup_rate=0.02)
     apply_batch(warm_tbl, warm_ev.drop("seg"), batch_id=0)
     apply_batch(warm_tbl, warm_ev.drop("seg").limit(10_000), batch_id=1)
     _phase("warmup", t0)

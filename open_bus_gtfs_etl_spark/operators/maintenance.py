@@ -5,6 +5,7 @@ reprocess (SURVEY.md §2.9 R1-R4).
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 
 def thin_keep_weekly(
@@ -64,3 +65,50 @@ def reprocess(spark, table, wal_dir: str, from_version: int, segments: list[int]
     that manifest — then replay the segment range."""
     table.rollback(from_version)
     return backfill(spark, table, wal_dir, segments, salted=salted)
+
+
+def cleanup_consumed_segments(
+    wal_dir: str,
+    consumed: set[int],
+    fence: int | None = None,
+    dry_run: bool = False,
+) -> tuple[list[int], list[int]]:
+    """R4: workdir/scratch GC. The reference deletes a date's extraction
+    workdir once that date is processed (cleanup_workdir.py:6-10; partial
+    extractions are cleared in extract.py:36). The WAL analogue: delete a
+    ``seg=N`` directory only when it is safe on BOTH ledgers — recorded
+    successful in the lineage log (``consumed``, from
+    ``LineageLog.successful_batches()``) AND at-or-below the table's
+    batch-replay ``fence`` (``table.last_committed_batch("batch")``).
+    Requiring both means a crash between lineage write and manifest
+    commit can never lose an unapplied segment; a segment is only
+    unrecoverable-by-replay after the merge it fed is durably committed.
+
+    Driver-side metadata walk only (like the reference's shutil.rmtree)
+    — segment dirs number in the thousands at most, never row data.
+    Returns (deleted, kept) segment ids; ``dry_run`` reports the split
+    without deleting.
+    """
+    import re
+    import shutil
+
+    present: set[int] = set()
+    for ver in ("v1", "v2"):
+        ver_dir = os.path.join(wal_dir, ver)
+        if not os.path.isdir(ver_dir):
+            continue
+        for name in os.listdir(ver_dir):
+            m = re.fullmatch(r"seg=(\d+)", name)
+            if m:
+                present.add(int(m.group(1)))
+    deletable = {
+        s for s in present
+        if s in consumed and (fence is None or s <= fence)
+    }
+    if not dry_run:
+        for s in sorted(deletable):
+            for ver in ("v1", "v2"):
+                shutil.rmtree(
+                    os.path.join(wal_dir, ver, f"seg={s}"), ignore_errors=True
+                )
+    return sorted(deletable), sorted(present - deletable)

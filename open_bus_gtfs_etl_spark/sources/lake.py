@@ -735,19 +735,97 @@ class SnapshotParquetTable:
         os.replace(cur_tmp, os.path.join(self._manifest_dir, CURRENT))
 
 
-class IcebergTable:
-    """Thin Iceberg mapping (production path named by the north rule).
+def iceberg_merge_sql(
+    identifier: str,
+    source_view: str,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> str:
+    """The Iceberg MERGE the production path runs (reference M1-M5
+    upsert semantics + the CDC delete branch + the cross-batch
+    out-of-order gate ``s.lsn >= t._lsn`` from SURVEY.md §7 hard parts).
+    Pure SQL generation so the statement is unit-testable without the
+    runtime jar."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
+    # (lsn, ts) lexicographic win condition spelled out — Spark SQL has
+    # no general row-value comparison outside IN subqueries
+    wins = "(s.lsn > t._lsn OR (s.lsn = t._lsn AND s.ts >= t._ts))"
+    sets = ", ".join(
+        [f"t.{c} = s.{c}" for c in value_cols] + ["t._lsn = s.lsn", "t._ts = s.ts"]
+    )
+    ins_cols = ", ".join(key_cols + value_cols + ["_lsn", "_ts", "_deleted"])
+    ins_vals = ", ".join(
+        [f"s.{c}" for c in key_cols + value_cols] + ["s.lsn", "s.ts", "FALSE"]
+    )
+    return (
+        f"MERGE INTO {identifier} t\n"
+        f"USING {source_view} s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED AND s.op = 'delete' AND {wins} THEN DELETE\n"
+        f"WHEN MATCHED AND {wins} THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED AND s.op != 'delete'"
+        f" THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
 
-    merge → ``MERGE INTO t USING s ON <keys> WHEN MATCHED AND s.op='delete'
-    AND s.lsn >= t._lsn THEN DELETE WHEN MATCHED AND s.lsn >= t._lsn THEN
-    UPDATE SET ... WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT ...``;
-    fencing via snapshot summary properties; evolve_schema → ``ALTER TABLE
-    ADD COLUMN``; expire_snapshots → ``CALL system.expire_snapshots``.
+
+def iceberg_ddl_sql(
+    identifier: str, schema: T.StructType, key_cols: list[str], n_buckets: int
+) -> str:
+    """CREATE TABLE with hash bucketing on the first key column — the
+    same co-location contract SnapshotParquetTable's _bucket layout
+    provides (all turns of a conversation in one bucket)."""
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    ) + ", _lsn bigint, _ts timestamp, _deleted boolean"
+    return (
+        f"CREATE TABLE IF NOT EXISTS {identifier} ({cols})\n"
+        f"USING iceberg PARTITIONED BY (bucket({n_buckets}, {key_cols[0]}))\n"
+        f"TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
+        f"'write.distribution-mode'='hash', 'format-version'='2')"
+    )
+
+
+def iceberg_evolve_sql(identifier: str, fields: list[T.StructField]) -> list[str]:
+    return [
+        f"ALTER TABLE {identifier} ADD COLUMN {f.name} {f.dataType.simpleString()}"
+        for f in fields
+    ]
+
+
+def iceberg_expire_sql(identifier: str, keep_last: int) -> str:
+    catalog, _, _ = identifier.partition(".")
+    return (
+        f"CALL {catalog}.system.expire_snapshots(table => '{identifier}', "
+        f"retain_last => {keep_last})"
+    )
+
+
+class IcebergTable:
+    """Thin Iceberg mapping (production path named by the north rule):
+    the engine-side dedup/fencing logic is identical to the snapshot
+    store; only the storage verbs change — MERGE INTO (generated by
+    ``iceberg_merge_sql``), ALTER TABLE ADD COLUMN, snapshot-summary
+    properties for the per-writer fences, ``expire_snapshots`` for GC.
+    ``format-version=2`` + ``write.merge.mode=merge-on-read`` selects
+    the same delta-and-compact strategy SnapshotParquetTable's "mor"
+    mode implements from scratch.
     Requires the Iceberg runtime jar + a configured catalog, which this
-    sandbox does not have — constructing without one raises.
+    sandbox does not have — constructing without one raises (the SQL
+    builders above stay unit-testable offline).
+
+    Exactly-once note: the fence property write here is a separate
+    commit from the MERGE (SQL cannot attach snapshot-summary props to
+    a MERGE commit), so under Iceberg the checkpoint remains the
+    primary exactly-once mechanism and the fence is the re-delivery
+    guard for NEW checkpoints; a production deployment would use
+    write-audit-publish or the commit-properties API for single-commit
+    fencing. SnapshotParquetTable does fence atomically (one manifest
+    swap).
     """
 
-    def __init__(self, spark: SparkSession, identifier: str):
+    def __init__(self, spark: SparkSession, identifier: str,
+                 key_cols: list[str] | None = None,
+                 value_cols: list[str] | None = None):
         jars = spark.conf.get("spark.jars.packages", "") + spark.conf.get("spark.jars", "")
         if "iceberg" not in jars.lower():
             raise RuntimeError(
@@ -756,3 +834,35 @@ class IcebergTable:
             )
         self.spark = spark
         self.identifier = identifier
+        self.key_cols = key_cols or ["conv_id", "turn_idx"]
+        self.value_cols = value_cols or ["role", "text", "tool", "ts"]
+
+    def merge(self, winners, batch_id: int, stats: bool = True,
+              writer: str = "default") -> dict:
+        fence = self._fences().get(writer, -1)
+        if batch_id is not None and batch_id <= fence:
+            return {"skipped_fenced": True}
+        winners.createOrReplaceTempView("_merge_source")
+        self.spark.sql(
+            iceberg_merge_sql(self.identifier, "_merge_source",
+                              self.key_cols, self.value_cols)
+        )
+        if batch_id is not None:
+            self.spark.sql(
+                f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
+                f"('fence.{writer}'='{batch_id}')"
+            )
+        return {"skipped_fenced": False}
+
+    def _fences(self) -> dict:
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {self.identifier}"
+            ).collect()
+        }
+        return {
+            k[len("fence."):]: int(v)
+            for k, v in props.items()
+            if k.startswith("fence.")
+        }

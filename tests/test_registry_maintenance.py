@@ -89,3 +89,51 @@ def test_reprocess_rollback_and_replay(tmp_path, spark):
     reprocess(spark, table, wal, from_version=1, segments=segs)
     after = sorted((r.conv_id, r.turn_idx, r.text) for r in table.read().collect())
     assert before == after
+
+
+def test_cleanup_consumed_segments(tmp_path, spark):
+    """R4: a segment is deleted only when BOTH ledgers say so — lineage
+    success AND at-or-below the table's batch fence; everything else
+    (unapplied, failed, above-fence) must survive the GC."""
+    from open_bus_gtfs_etl_spark.operators.maintenance import (
+        cleanup_consumed_segments,
+    )
+    from open_bus_gtfs_etl_spark.streaming.lineage import LineageLog
+
+    ev = generate_events(spark, 3000, n_conv=60, seed=31, seg_size=1000,
+                         v2_start_lsn=0)
+    wal = str(tmp_path / "wal")
+    segs = write_wal(ev, wal)
+    table = SnapshotParquetTable.create(
+        spark, str(tmp_path / "lake"), TRANSCRIPTS_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=4,
+    )
+    lineage = LineageLog(spark, str(tmp_path / "lineage"))
+    # apply only the first two segments; seg 2 stays unconsumed
+    replay_wal(spark, table, wal, segs[:2], lineage=lineage)
+    fence = table.last_committed_batch("wal")
+    consumed = lineage.successful_batches()
+    assert set(segs[:2]) <= consumed
+
+    # dry run reports the split without touching disk
+    deleted, kept = cleanup_consumed_segments(wal, consumed, fence, dry_run=True)
+    assert deleted == segs[:2] and kept == segs[2:]
+    import os as _os
+    assert _os.path.isdir(_os.path.join(wal, "v1", f"seg={segs[0]}")) or \
+        _os.path.isdir(_os.path.join(wal, "v2", f"seg={segs[0]}"))
+
+    deleted, kept = cleanup_consumed_segments(wal, consumed, fence)
+    assert deleted == segs[:2] and kept == segs[2:]
+    for ver in ("v1", "v2"):
+        for s in segs[:2]:
+            assert not _os.path.isdir(_os.path.join(wal, ver, f"seg={s}"))
+    # the unconsumed segment is intact and still replayable
+    replay_wal(spark, table, wal, segs[2:], lineage=lineage)
+    assert table.last_committed_batch("wal") == segs[-1]
+
+    # lineage success alone is NOT sufficient: a fence behind lineage
+    # (crash between lineage write and manifest commit) keeps the segment
+    deleted, kept = cleanup_consumed_segments(
+        wal, consumed=set(segs[2:]), fence=segs[1], dry_run=True
+    )
+    assert deleted == [] and kept == segs[2:]
