@@ -62,6 +62,42 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _probe() -> float:
+    """Host-contention probe (~1s): single-thread arithmetic plus a
+    tmpfs write burst — the two resources the sandbox's invisible
+    neighbors actually steal (CPU and kernel/FS path; BENCH.md
+    "Environment caveat"). Returns a throughput score; identical
+    hardware in a quiet window scores ~the session max, a contended
+    window 5-20x lower. Used to time sample launches, never to alter
+    the measured numbers."""
+    t0 = time.time()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    cpu_s = 2_000_000 / (time.time() - t0)
+    path = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    blob = b"x" * (1 << 20)
+    t0 = time.time()
+    with tempfile.NamedTemporaryFile(dir=path) as f:
+        for _ in range(128):
+            f.write(blob)
+            f.flush()
+    io_s = 128 / (time.time() - t0)
+    # geometric mean keeps either resource from dominating the score
+    return (cpu_s * io_s) ** 0.5
+
+
+def _wait_for_quiet(best: float, deadline: float) -> float:
+    """Defer launching a timed sample while the probe says the host is
+    heavily contended (score < 60% of the session's best). Bounded by
+    ``deadline``; returns the probe score at launch time."""
+    score = _probe()
+    while score < 0.6 * best and time.time() < deadline:
+        time.sleep(45)
+        score = _probe()
+    return score
+
+
 def _replay_subprocess(cores: int, wal_dir: str, n_events: int, lake_root: str,
                        n_buckets: int, table_mode: str = "cow") -> dict:
     env = dict(os.environ)
@@ -74,7 +110,8 @@ def _replay_subprocess(cores: int, wal_dir: str, n_events: int, lake_root: str,
             [sys.executable, os.path.join(REPO, "bench", "replay_once.py"),
              str(cores), wal_dir, str(n_events), lake_root, str(n_buckets),
              "single-batch", table_mode],
-            capture_output=True, text=True, timeout=1200, env=env,
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_SUBPROC_TIMEOUT", "1800")), env=env,
         )
         line = out.stdout.strip().splitlines()[-1]
         return json.loads(line)
@@ -124,17 +161,33 @@ def main() -> None:
         # runs up to 5x, so keep sampling (bounded by ``rounds``) until
         # the best-of estimate clears the target; all samples reported
         target_eff = float(os.environ.get("BENCH_TARGET_EFF", "0.8"))
-        min_rounds = min(2, rounds)
+        # wall-clock budget for the scaling section: in a contended
+        # window a single 2-core 16M replay can run 20 minutes, so
+        # without a budget the round loop could take hours — one full
+        # round always runs, further rounds only while budget remains
+        budget = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "1800"))
+        t_scaling = time.time()
+        deadline = t_scaling + budget
+        best_probe = max(_probe(), _probe())
         samples: dict[int, list[dict]] = {low: [], high: []}
         for r in range(rounds):
+            if r >= 1 and time.time() > deadline:
+                break
             for cores in (high, low):
+                # the host's invisible neighbors degrade identical runs
+                # up to 20x for tens of minutes at a time — defer each
+                # timed launch (bounded by the budget) while the probe
+                # says the window is bad, and record the probe score so
+                # every sample carries its own host-state context
+                score = _wait_for_quiet(best_probe, deadline)
+                best_probe = max(best_probe, score)
                 lake = os.path.join(work, f"lake_{cores}_{len(samples[cores])}")
-                samples[cores].append(
-                    _replay_subprocess(cores, wal_dir, n_events, lake, n_buckets,
+                s = _replay_subprocess(cores, wal_dir, n_events, lake, n_buckets,
                                        table_mode)
-                )
+                s["probe"] = round(score / best_probe, 3)
+                samples[cores].append(s)
                 shutil.rmtree(lake, ignore_errors=True)
-            if r + 1 >= min_rounds:
+            if r >= 1:
                 b_low = max(s["events_per_sec"] for s in samples[low])
                 b_high = max(s["events_per_sec"] for s in samples[high])
                 if b_low and (b_high / b_low) / (high / low) >= target_eff:
@@ -167,8 +220,21 @@ def main() -> None:
                 "events_per_sec_low": best[low],
                 "events_per_sec_high": best[high],
                 "efficiency": round(eff, 3) if eff is not None else None,
-                "methodology": "fresh JVM per run, JIT warm-up, interleaved, best-of-%d per level (shared noisy host)" % rounds,
-                "samples": {str(c): [s["events_per_sec"] for s in samples[c]] for c in (low, high)},
+                "methodology": (
+                    "fresh JVM per run, JIT warm-up, interleaved, best-of per "
+                    "level; launches deferred while a host-contention probe "
+                    "reads <60% of session best (shared noisy host, up to "
+                    "20x swings); probe = per-sample host-state score "
+                    "relative to session best"
+                ),
+                "samples": {
+                    str(c): [
+                        {"events_per_sec": s["events_per_sec"],
+                         "probe": s.get("probe")}
+                        for s in samples[c]
+                    ]
+                    for c in (low, high)
+                },
             },
         }
         print(json.dumps(out))

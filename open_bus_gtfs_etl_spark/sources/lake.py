@@ -245,6 +245,7 @@ class SnapshotParquetTable:
         batch_id: int,
         stats: bool | str = True,
         writer: str = "default",
+        discovery: str = "auto",
     ) -> dict:
         """Copy-on-write MERGE of a pre-deduplicated batch of winners.
 
@@ -266,6 +267,22 @@ class SnapshotParquetTable:
         skip-if-done check, idempotent_process.py:94-104). Fences are
         namespaced per writer so batch replay (WAL segment ids) and each
         streaming checkpoint (epoch ids) never fence each other out.
+
+        ``discovery`` controls how the touched-bucket set is found:
+
+        - ``"exact"``: materialize the winners (persist + count, the
+          bucket set rides that job as an Observation), then join ONLY
+          the touched buckets — minimal read/write volume when the
+          batch touches few buckets.
+        - ``"all"``: skip the materialization barrier and join every
+          bucket — ONE Spark job end to end (dedup → join → write), no
+          cache write, no job gap. Right when the batch is known to
+          touch ~all buckets (large batches over skewed keys do: the
+          steady-state shape at 10^8-event micro-batches), where exact
+          discovery saves no I/O and its serial barrier caps scaling.
+        - ``"auto"`` (default): ``"all"`` for the bootstrap merge into
+          an empty table (everything is touched by definition),
+          ``"exact"`` afterwards.
         """
         m = self.manifest()
         fences = dict(m.get("fences", {}))
@@ -293,18 +310,15 @@ class SnapshotParquetTable:
         types = {f.name: f.dataType for f in self.stored_schema().fields}
 
         src = winners.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
-        # the winners frame feeds two consumers (bucket discovery, the
-        # rewrite join) — persist once instead of recomputing the dedup
-        # shuffle twice
         from pyspark import StorageLevel
         from pyspark.sql import Observation
 
         carry = "_n_dups" in src.columns
-        # touched buckets + batch-level source counters ride the cache-
-        # materialization job as an Observation: the round-1 kernel paid
-        # a separate distinct() shuffle for the bucket set and a third
-        # job reading the written files back for counters — both serial
-        # floor at high parallelism
+        # touched buckets + batch-level source counters ride an existing
+        # job as an Observation: the round-1 kernel paid a separate
+        # distinct() shuffle for the bucket set and a third job reading
+        # the written files back for counters — both serial floor at
+        # high parallelism
         obs_src = Observation()
         src_exprs = [F.collect_set(BUCKET_COL).alias("touched")]
         if carry:
@@ -314,11 +328,25 @@ class SnapshotParquetTable:
                 F.min("_lsn_min").alias("lsn_min"),
                 F.max("_lsn_max").alias("lsn_max"),
             ]
-        src = src.observe(obs_src, *src_exprs).persist(StorageLevel.MEMORY_AND_DISK)
-        src.count()  # materialize cache + fire the observation
-        src_stats = obs_src.get
-        touched = sorted(src_stats["touched"])
-        tgt = self.read_stored(buckets=touched)
+        exact = discovery == "exact" or (discovery == "auto" and bool(m["buckets"]))
+        if exact:
+            # the winners frame feeds two consumers (bucket discovery,
+            # the rewrite join) — persist once instead of recomputing
+            # the dedup shuffle twice
+            src = src.observe(obs_src, *src_exprs).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            src.count()  # materialize cache + fire the observation
+            src_stats = obs_src.get
+            touched = sorted(src_stats["touched"])
+            tgt = self.read_stored(buckets=touched)
+        else:
+            # one-job path: the observation fires inside the write job,
+            # the join reads every bucket, nothing is cached and there
+            # is no job barrier between dedup and write
+            src = src.observe(obs_src, *src_exprs)
+            touched = sorted(range(n_buckets))
+            tgt = self.read_stored()
 
         s = src.alias("s")
         t = tgt.alias("t")
@@ -404,6 +432,8 @@ class SnapshotParquetTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_path)
         )
+        if not exact:
+            src_stats = obs_src.get  # fired inside the write job
 
         stat = {"skipped_fenced": False, "version": new_version}
         if stats:
@@ -468,7 +498,8 @@ class SnapshotParquetTable:
             "parent": m["version"],
         }
         self._write_manifest(new_manifest)
-        src.unpersist()
+        if exact:
+            src.unpersist()
         return stat
 
     def _merge_mor(
@@ -838,7 +869,9 @@ class IcebergTable:
         self.value_cols = value_cols or ["role", "text", "tool", "ts"]
 
     def merge(self, winners, batch_id: int, stats: bool = True,
-              writer: str = "default") -> dict:
+              writer: str = "default", discovery: str = "auto") -> dict:
+        # ``discovery`` is accepted for LakeTable interface parity;
+        # Iceberg's MERGE plans its own file pruning (metadata min/max)
         fence = self._fences().get(writer, -1)
         if batch_id is not None and batch_id <= fence:
             return {"skipped_fenced": True}
