@@ -40,8 +40,35 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes long, payload_sha int, feature array<float>"
+    "media_id long, kind string, n_bytes long, payload_sha string, feature array<float>"
 )
+
+
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Build a media table over the documents corpus: each document's
+    UTF-8 bytes stand in for an encoded payload blob (the container has
+    no codec libraries), with kind and metadata derived
+    deterministically — so the downstream decode/featurize output is
+    exactly reproducible by a SQL oracle (sha256 is computable on both
+    sides, unlike crc32/xxhash)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    meta = F.struct(
+        F.when(kind == "image", (F.pmod(F.col("n_chars"), F.lit(1920)) + 16).cast("int")).alias("width"),
+        F.when(kind == "image", (F.pmod(F.col("n_chars"), F.lit(1080)) + 16).cast("int")).alias("height"),
+        F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(kind != "image", (F.pmod(F.col("n_chars"), F.lit(60000)) + 100).cast("int")).alias("duration_ms"),
+        F.lit("fake").alias("codec"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
 
 
 def synthesize_media(spark, n: int, seed: int = 3) -> DataFrame:
@@ -81,18 +108,24 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
             have_codecs = True
         except ImportError:
             have_codecs = False
-        import zlib
+        import hashlib
 
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
+            # sha256 (not crc32/xxhash) so a SQL oracle can recompute
+            # the checksum bit-for-bit on the same bytes
             sha = payloads.map(
-                lambda b: (zlib.crc32(bytes(b)) & 0x7FFFFFFF) if b is not None else 0
+                lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
+                if b is not None
+                else None
             )
             if have_codecs:  # pragma: no cover - not available in sandbox
                 raise NotImplementedError("real decode path: wire codec here")
             feats = [
-                [float((s >> (4 * j)) & 0xF) / 15.0 for j in range(feature_dim)]
+                [float(int(c, 16)) / 15.0 for c in s[:feature_dim]]
+                if s is not None
+                else None
                 for s in sha
             ]
             yield pd.DataFrame(
@@ -100,7 +133,7 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": n_bytes.astype("int64"),
-                    "payload_sha": sha.astype("int32"),
+                    "payload_sha": sha,
                     "feature": feats,
                 }
             )

@@ -1007,14 +1007,29 @@ E2_SQL = _build_e2_sql()
 
 
 def x1_multimodal_features(spark, sf_dir):
-    """Binary-column decode/featurize plumbing via Arrow mapInPandas
-    (decode stubbed — no codec libs in this container; rows-only)."""
+    """Binary-column decode/featurize plumbing via Arrow mapInPandas.
+    The decode is a deterministic stand-in (no codec libs in this
+    container), but the whole pipeline — binary payload column, Arrow
+    batch iteration, per-batch python work, typed output schema — runs
+    for real, and because the payload is the documents' UTF-8 bytes and
+    the checksum is sha256, DuckDB can recompute every output cell."""
     from ..operators import multimodal
 
-    media = multimodal.synthesize_media(spark, 2000)
+    media = multimodal.media_from_documents(spark, sf_dir)
     return multimodal.decode_and_featurize(media).select(
         "media_id", "kind", "n_bytes", "payload_sha"
     )
+
+
+X1_SQL = """
+SELECT
+  doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+  substr(sha256(text), 1, 16) AS payload_sha
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1100,4 +1115,5 @@ ORACLES: dict[str, str] = {
     "d3_minhash_lsh": D3_SQL,
     "d4_simhash_near_dups": D4_SQL,
     "e2_ivf_ann_topk": E2_SQL,
+    "x1_multimodal_features": X1_SQL,
 }
