@@ -84,6 +84,9 @@ def main() -> None:
     apply_batch(warm_tbl, warm_ev.drop("seg"), batch_id=0)
     apply_batch(warm_tbl, warm_ev.drop("seg").limit(10_000), batch_id=1)
     _phase("warmup", t0)
+    import shutil
+
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     segs = sorted(
         {
