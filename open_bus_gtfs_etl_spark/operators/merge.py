@@ -34,6 +34,30 @@ def align_to_schema(batch: DataFrame, stored_schema) -> DataFrame:
     return out
 
 
+# serialized bytes per winner-key row in the broadcast hash relation
+# (conv_id string ~16B + turn_idx + up to 3 long counters)
+BROADCAST_KEY_BYTES = 48
+
+
+def resolve_broadcast_keys(table, cap_bytes: int = 512 << 20) -> bool:
+    """Pick broadcast vs shuffle for the dedup join-back from the
+    table's OBSERVED history instead of a caller flag: each merge
+    records the winner count it measured in-flight (manifest
+    ``last_n_winners``), and the next batch broadcasts only while that
+    count × ~48 B stays under ``cap_bytes`` (default 512 MB — a
+    deliberate hint, so sized above the AQE auto-threshold but well
+    under Spark's 8 GB broadcast hard limit). First batch / backends
+    without a manifest default to broadcast — the micro-batch
+    steady-state shape the write path is designed for."""
+    man = getattr(table, "manifest", None)
+    if not callable(man):
+        return True
+    est = man().get("last_n_winners")
+    if est is None:
+        return True
+    return int(est) * BROADCAST_KEY_BYTES <= cap_bytes
+
+
 def apply_batch(
     table,
     batch: DataFrame,
@@ -47,7 +71,7 @@ def apply_batch(
     auto_evolve: bool = True,
     dedup: str = "argmax",
     discovery: str = "auto",
-    broadcast_keys: bool = True,
+    broadcast_keys: bool | str = "auto",
 ) -> dict:
     """Apply one micro-batch of change events to ``table``.
 
@@ -86,6 +110,11 @@ def apply_batch(
     batch = align_to_schema(batch, table.stored_schema())
     payload = [c for c in value_cols if c != "ts"] + ["op", "lsn", "ts"]
 
+    if broadcast_keys == "auto":
+        # auto-sized from the winner count the PREVIOUS merge observed
+        # in-flight — removes the "forgot to disable the hint at 10^8
+        # winners" footgun without adding a job to count this batch
+        broadcast_keys = resolve_broadcast_keys(table)
     if salted:
         winners = lww_dedup_salted(batch, key_cols, payload, n_salts=n_salts)
     elif dedup == "argmax":
@@ -105,7 +134,7 @@ def apply_batch(
     if stats and not st.get("skipped_fenced"):
         if "rows_upserted" in st:  # merge-on-read: no outcome split
             n_winners = st["rows_upserted"] + st["rows_deleted"]
-        else:
+        elif "rows_inserted" in st:
             n_winners = (
                 st["rows_inserted"]
                 + st["rows_updated"]
@@ -113,7 +142,12 @@ def apply_batch(
                 + st["rows_stale_skipped"]
                 + st.get("rows_delete_noop", 0)
             )
-        if "n_source_rows" in st:
+        else:
+            # backend reports no outcome counters (IcebergTable: MERGE
+            # INTO doesn't surface per-branch counts) — dedup delta is
+            # unknowable, not an error
+            n_winners = None
+        if n_winners is not None and "n_source_rows" in st:
             st["rows_deduped"] = st["n_source_rows"] - n_winners
         else:
             st["rows_deduped"] = None

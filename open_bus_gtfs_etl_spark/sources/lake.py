@@ -225,8 +225,15 @@ class SnapshotParquetTable:
 
             key_cols = m["key_cols"]
             payload = [f.name for f in schema.fields if f.name not in key_cols]
+            # broadcast_keys=False: the winner-key frame here holds every
+            # distinct key in the TABLE (base+deltas), not a micro-batch —
+            # a forced broadcast of that frame OOMs the moment the table
+            # outgrows executor memory. Both join sides are table-sized,
+            # so the shuffle argmax join is the right plan at any scale
+            # (AQE may still broadcast small tables on its own sizing).
             df = lww_dedup_argmax_join(
-                df, key_cols, payload, lsn_col="_lsn", ts_col="_ts"
+                df, key_cols, payload, lsn_col="_lsn", ts_col="_ts",
+                broadcast_keys=False,
             ).select([f.name for f in schema.fields])
         return df
 
@@ -320,11 +327,16 @@ class SnapshotParquetTable:
         # the written files back for counters — both serial floor at
         # high parallelism
         obs_src = Observation()
-        src_exprs = [F.collect_set(BUCKET_COL).alias("touched")]
+        # n_winners is observed unconditionally: the NEXT batch's
+        # broadcast-vs-shuffle join-back choice is sized from it
+        # (operators/merge.py resolve_broadcast_keys)
+        src_exprs = [
+            F.collect_set(BUCKET_COL).alias("touched"),
+            F.count("*").alias("n_winners"),
+        ]
         if carry:
             src_exprs += [
                 F.sum("_n_dups").alias("n_source_rows"),
-                F.count("*").alias("n_winners"),
                 F.min("_lsn_min").alias("lsn_min"),
                 F.max("_lsn_max").alias("lsn_max"),
             ]
@@ -494,6 +506,7 @@ class SnapshotParquetTable:
             ),
             "fences": fences,
             "lsn_max": lsn_max,
+            "last_n_winners": int(src_stats["n_winners"] or 0),
             "buckets": new_buckets,
             "parent": m["version"],
         }
@@ -623,6 +636,7 @@ class SnapshotParquetTable:
             ),
             "fences": fences,
             "lsn_max": lsn_max,
+            "last_n_winners": int(got["n_winners"] or 0),
             "deltas": new_deltas,
             "parent": m["version"],
         }
@@ -776,26 +790,50 @@ def iceberg_merge_sql(
     upsert semantics + the CDC delete branch + the cross-batch
     out-of-order gate ``s.lsn >= t._lsn`` from SURVEY.md §7 hard parts).
     Pure SQL generation so the statement is unit-testable without the
-    runtime jar."""
+    runtime jar.
+
+    Deletes are SOFT (tombstone rows, ``_deleted = TRUE``), exactly
+    like SnapshotParquetTable — never ``WHEN MATCHED THEN DELETE``: a
+    physical delete forgets the applied lsn, so a stale out-of-order
+    update in a LATER batch would hit WHEN NOT MATCHED and resurrect
+    the row. Same reasoning inserts a tombstone for a not-matched
+    delete. The user view filters ``_deleted`` (``iceberg_read_sql``);
+    tombstones age out with retention GC, not with the merge."""
     on = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
     # (lsn, ts) lexicographic win condition spelled out — Spark SQL has
     # no general row-value comparison outside IN subqueries
     wins = "(s.lsn > t._lsn OR (s.lsn = t._lsn AND s.ts >= t._ts))"
+    del_sets = ", ".join(
+        [f"t.{c} = NULL" for c in value_cols]
+        + ["t._lsn = s.lsn", "t._ts = s.ts", "t._deleted = TRUE"]
+    )
     sets = ", ".join(
-        [f"t.{c} = s.{c}" for c in value_cols] + ["t._lsn = s.lsn", "t._ts = s.ts"]
+        [f"t.{c} = s.{c}" for c in value_cols]
+        + ["t._lsn = s.lsn", "t._ts = s.ts", "t._deleted = FALSE"]
     )
     ins_cols = ", ".join(key_cols + value_cols + ["_lsn", "_ts", "_deleted"])
     ins_vals = ", ".join(
-        [f"s.{c}" for c in key_cols + value_cols] + ["s.lsn", "s.ts", "FALSE"]
+        [f"s.{c}" for c in key_cols]
+        + [f"CASE WHEN s.op = 'delete' THEN NULL ELSE s.{c} END" for c in value_cols]
+        + ["s.lsn", "s.ts", "(s.op = 'delete')"]
     )
     return (
         f"MERGE INTO {identifier} t\n"
         f"USING {source_view} s\n"
         f"ON {on}\n"
-        f"WHEN MATCHED AND s.op = 'delete' AND {wins} THEN DELETE\n"
+        f"WHEN MATCHED AND s.op = 'delete' AND {wins} THEN UPDATE SET {del_sets}\n"
         f"WHEN MATCHED AND {wins} THEN UPDATE SET {sets}\n"
-        f"WHEN NOT MATCHED AND s.op != 'delete'"
+        f"WHEN NOT MATCHED"
         f" THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def iceberg_read_sql(identifier: str, user_cols: list[str]) -> str:
+    """User view over the Iceberg table: live rows, user columns only
+    (tombstones filtered — the read-side half of soft-delete)."""
+    return (
+        f"SELECT {', '.join(user_cols)} FROM {identifier} "
+        f"WHERE NOT coalesce(_deleted, FALSE)"
     )
 
 
@@ -886,6 +924,12 @@ class IcebergTable:
                 f"('fence.{writer}'='{batch_id}')"
             )
         return {"skipped_fenced": False}
+
+    def read(self):
+        """User view: live rows only (tombstones filtered), user cols."""
+        return self.spark.sql(
+            iceberg_read_sql(self.identifier, self.key_cols + self.value_cols)
+        )
 
     def _fences(self) -> dict:
         props = {

@@ -12,6 +12,7 @@ from open_bus_gtfs_etl_spark.sources.lake import (
     iceberg_evolve_sql,
     iceberg_expire_sql,
     iceberg_merge_sql,
+    iceberg_read_sql,
 )
 
 KEYS = ["conv_id", "turn_idx"]
@@ -26,13 +27,32 @@ def test_merge_sql_branches_and_gates():
     # an older lsn must never regress the row (SURVEY.md §7 hard parts)
     wins = "(s.lsn > t._lsn OR (s.lsn = t._lsn AND s.ts >= t._ts))"
     assert sql.count(wins) == 2
-    assert f"WHEN MATCHED AND s.op = 'delete' AND {wins} THEN DELETE" in sql
-    # inserts must not resurrect a delete arriving for an absent key
-    assert "WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT" in sql
+    # delete is a SOFT delete (tombstone), never a physical DELETE: the
+    # kept (_lsn, _ts, _deleted) is what gates a stale out-of-order
+    # update in a later batch from resurrecting the row
+    assert "THEN DELETE" not in sql
+    assert (
+        f"WHEN MATCHED AND s.op = 'delete' AND {wins} THEN UPDATE SET" in sql
+    )
+    assert "t._deleted = TRUE" in sql
+    # an update winning over a tombstone must resurrect the row
+    assert "t._deleted = FALSE" in sql
+    # a not-matched delete INSERTS a tombstone (same no-resurrect guard
+    # the snapshot store keeps) with nulled value columns
+    assert "WHEN NOT MATCHED THEN INSERT" in sql.replace("\n", " ")
+    assert "(s.op = 'delete')" in sql
+    for c in VALS:
+        assert f"CASE WHEN s.op = 'delete' THEN NULL ELSE s.{c} END" in sql
     # every value column updated, lsn/ts watermark maintained
     for c in VALS:
         assert f"t.{c} = s.{c}" in sql
     assert "t._lsn = s.lsn" in sql and "t._ts = s.ts" in sql
+
+
+def test_read_sql_filters_tombstones():
+    sql = iceberg_read_sql("cat.db.t", KEYS + VALS)
+    assert "WHERE NOT coalesce(_deleted, FALSE)" in sql
+    assert "conv_id, turn_idx, role, text, tool, ts" in sql
 
 
 def test_ddl_sql_buckets_and_mor():
