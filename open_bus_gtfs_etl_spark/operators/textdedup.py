@@ -282,6 +282,96 @@ def simhash_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the verified near-dup pair graph via
+    iterative min-id label propagation — the pair→cluster step corpus
+    dedup needs before it can DROP rows (the reference's set-semantics
+    insert-if-absent, load_stops_to_db.py:73-81, lifted to the near-dup
+    graph). No GraphFrames: plain equi-joins and aggregations.
+
+    Per round each vertex takes ``min(own label, neighbor labels)``;
+    labels converge to the component's minimum id in O(diameter)
+    rounds, and near-dup clusters are tiny/star-shaped (diameter ≤ a
+    few), so 2-3 rounds settle real corpora. Each round is one
+    edges⋈labels shuffle — O(E) work, map-side-combined min per vertex.
+    Lineage is truncated every round (``localCheckpoint``) so the plan
+    stays O(1)-deep instead of growing per iteration; at cluster scale
+    point ``spark.sparkContext.setCheckpointDir`` at durable storage
+    and swap in ``checkpoint`` for executor-loss recovery.
+
+    Returns (id, component) for every vertex appearing in ``pairs``,
+    where component = min id of the connected component. Raises if not
+    converged after ``max_iter`` rounds (never returns half-propagated
+    labels silently).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min over incoming neighbor labels, then min with own label
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("_n_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_n_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter — raise it)"
+    )
+
+
+def dedup_survivors(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Survivor selection over the near-dup pair graph: cluster via
+    ``connected_components``, keep the deterministic min-id doc per
+    cluster. Returns (doc_id, cluster_id, is_survivor) for every doc in
+    the pair graph; docs NOT in any pair are implicitly their own
+    survivors (anti-join this frame's non-survivors to drop rows)."""
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",

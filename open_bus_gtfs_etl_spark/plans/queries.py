@@ -520,7 +520,7 @@ FROM (
 
 def w1_top1_per_key(spark, sf_dir):
     """W1: latest row per key (reference order_by desc limit 1,
-    idempotent_process.py:98-99) via max_by."""
+    idempotent_process.py:98-99) via row_number window rank."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
@@ -914,14 +914,25 @@ D3_SQL = _BRUTE_JACCARD_SQL.format(thr="0.5")
 
 
 def d4_simhash_near_dups(spark, sf_dir):
-    """SimHash block-permutation candidates (8 blocks of 8 bits —
-    pigeonhole-exact for hamming ≤ 7 — with a hamming ≤ 12 pre-filter),
-    verified with exact 3-gram Jaccard > 0.8 — same oracle shape as d3,
-    different candidate generator."""
+    """SimHash block-permutation candidates (8 blocks of 8 bits,
+    ``max_hamming = n_blocks - 1 = 7`` so the candidate set is
+    pigeonhole-EXACT for the claimed radius: every pair within hamming 7
+    is guaranteed to share a block), verified with exact 3-gram
+    Jaccard > 0.8 — same oracle shape as d3, different candidate
+    generator.
+
+    Oracle-equality caveat (disclosed, not structural): the DuckDB
+    brute force includes EVERY pair with jaccard > 0.8, while simhash
+    only guarantees low hamming *in expectation* for high jaccard — a
+    corpus could contain a j>0.8 pair at hamming >7 that the candidate
+    stage misses. On this synthetic corpus the margin is wide (dup
+    pairs sit at j≈0.99 / hamming ≈0-2, the next band at j≈0.1), so
+    equality holds; treat the oracle check as corpus-dependent evidence
+    of the pipeline, not a proof of simhash recall."""
     from ..operators import textdedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = textdedup.simhash_candidates(d, max_hamming=12, n_blocks=8).select(
+    cand = textdedup.simhash_candidates(d, max_hamming=7, n_blocks=8).select(
         "id_a", "id_b"
     )
     return (
@@ -932,6 +943,42 @@ def d4_simhash_near_dups(spark, sf_dir):
 
 
 D4_SQL = _BRUTE_JACCARD_SQL.format(thr="0.8")
+
+
+def d5_dedup_survivors(spark, sf_dir):
+    """Pair→cluster→survivor corpus dedup: the d3 verified pairs
+    (exact Jaccard > 0.5) are clustered via iterative min-id label
+    propagation (connected components — no GraphFrames, only
+    equi-joins), and the min doc_id per cluster survives. The
+    reference's set-semantics insert-if-absent
+    (load_stops_to_db.py:73-81) lifted to the near-dup graph. Oracle:
+    DuckDB recursive CTE over the same brute-force pair set."""
+    from ..operators import textdedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = textdedup.minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    pairs = textdedup.jaccard_pairs(d, cand).where(F.col("jaccard") > 0.5)
+    return textdedup.dedup_survivors(pairs).select(
+        "doc_id", "cluster_id", "is_survivor"
+    )
+
+
+D5_SQL = (
+    "WITH RECURSIVE base_pairs AS (" + _BRUTE_JACCARD_SQL.format(thr="0.5") + "),\n"
+    """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM base_pairs
+  UNION
+  SELECT id_b, id_a FROM base_pairs
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id, (id = MIN(r)) AS is_survivor
+FROM reach GROUP BY id
+"""
+)
 
 
 def e2_ivf_ann_topk(spark, sf_dir):
@@ -1072,9 +1119,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_cosine_topk": e1_cosine_topk,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash_near_dups": d4_simhash_near_dups,
+    "d5_dedup_survivors": d5_dedup_survivors,
     "e2_ivf_ann_topk": e2_ivf_ann_topk,
-    # rows-only (no SQL oracle — payload bytes derive from xxhash64,
-    # which DuckDB cannot reproduce; plumbing is unit-tested instead)
     "x1_multimodal_features": x1_multimodal_features,
 }
 
@@ -1114,6 +1160,7 @@ ORACLES: dict[str, str] = {
     "e1_cosine_topk": E1_SQL_TEMPLATE,
     "d3_minhash_lsh": D3_SQL,
     "d4_simhash_near_dups": D4_SQL,
+    "d5_dedup_survivors": D5_SQL,
     "e2_ivf_ann_topk": E2_SQL,
     "x1_multimodal_features": X1_SQL,
 }

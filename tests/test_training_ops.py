@@ -223,3 +223,45 @@ def test_route_desc_split_and_misc(spark):
         scalars.zpad2(F.lit(7)).alias("z"),
     ).collect()[0]
     assert (misc.ns, misc.p, misc.z) == (None, "2024/05/05", "07")
+
+
+def test_connected_components_chain_and_star(spark):
+    """A 5-chain (diameter 4), a star, and a singleton pair must all
+    collapse to min-id components; survivor = min doc_id per cluster."""
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14, star 20-{21,22,23}, pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14),
+         (20, 21), (20, 22), (20, 23), (30, 31)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_survivor)
+        for r in textdedup.dedup_survivors(pairs).collect()
+    }
+    for v in (10, 11, 12, 13, 14):
+        assert out[v] == (10, v == 10)
+    for v in (20, 21, 22, 23):
+        assert out[v] == (20, v == 20)
+    for v in (30, 31):
+        assert out[v] == (30, v == 30)
+
+
+def test_connected_components_direction_independent(spark):
+    """Propagation must flow both ways: min id on the FAR end of an
+    edge list written high→low still wins."""
+    pairs = spark.createDataFrame([(5, 1), (2, 5), (9, 2)], "id_a long, id_b long")
+    comp = textdedup.connected_components(pairs).collect()
+    assert {r.component for r in comp} == {1}
+    assert {r.id for r in comp} == {1, 2, 5, 9}
+
+
+def test_connected_components_max_iter_raises(spark):
+    import pytest
+
+    # diameter 4 cannot converge in 1 round — must raise, never return
+    # half-propagated labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        textdedup.connected_components(pairs, max_iter=1)
