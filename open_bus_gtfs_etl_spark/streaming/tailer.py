@@ -61,11 +61,11 @@ def start_tailer(
     """Start the streaming merge-apply query.
 
     ``wal_glob`` should cover the v2-schema segment files (e.g.
-    ``{wal}/v2/seg=*``); v1 segments are absorbed via the batch
-    backfill path or by pointing a second tailer at the v1 directory —
-    the file source requires a fixed schema, which is exactly the
-    schema-registry boundary (see registry.py). Returns the
-    StreamingQuery.
+    ``{wal}/v2/seg=*``); for LIVE mixed-version ingestion use
+    ``start_multi_tailer``, which runs one aligned stream per registry
+    version under the same checkpoint — the file source requires a
+    fixed schema, which is exactly the schema-registry boundary (see
+    registry.py). Returns the StreamingQuery.
 
     A failing merge is retried ``max_retries`` times in-batch (the
     reference's download/extract retry loop,
@@ -84,6 +84,77 @@ def start_tailer(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(wal_glob)
+    return _start(
+        stream, table, checkpoint_dir, lineage, salted, available_now,
+        max_retries, retry_backoff_sec,
+    )
+
+
+def start_multi_tailer(
+    spark: SparkSession,
+    table,
+    wal_dir: str,
+    checkpoint_dir: str,
+    versions: list[int] | None = None,
+    lineage=None,
+    salted: bool = False,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+    max_retries: int = 2,
+    retry_backoff_sec: float = 0.0,
+):
+    """Registry-driven mixed-version tailer: ONE streaming query over
+    every schema version's WAL directory — live v1+v2 ingestion with no
+    batch backfill step.
+
+    The file source needs a fixed schema per stream, which is exactly
+    the registry boundary (registry.py): one ``readStream`` per
+    ``{wal_dir}/v{ver}`` with that version's StructType, each aligned
+    to the newest envelope via ``align_batch`` (missing columns →
+    typed nulls), then unioned into the SAME fenced/checkpointed
+    ``foreachBatch`` — offsets for all sources live in the one
+    checkpoint, so kill/resume fencing is identical to the
+    single-schema tailer.
+
+    ``versions`` defaults to the registry versions whose directory
+    exists at start; a version directory that appears LATER needs a
+    query restart (file sources enumerate their root at plan time) —
+    registry bumps are deploy events, which is when the query restarts
+    anyway.
+    """
+    from ..registry import REGISTRY, align_batch, schema_for
+
+    if versions is None:
+        versions = [
+            v for v in sorted(REGISTRY)
+            if os.path.isdir(os.path.join(wal_dir, f"v{v}"))
+        ]
+    if not versions:
+        raise ValueError(f"no v*/ schema directories under {wal_dir}")
+    stream = None
+    for ver in versions:
+        reader = (
+            spark.readStream.schema(schema_for(ver))
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        part = align_batch(
+            reader.parquet(os.path.join(wal_dir, f"v{ver}"))
+        )
+        stream = part if stream is None else stream.unionByName(part)
+    return _start(
+        stream, table, checkpoint_dir, lineage, salted, available_now,
+        max_retries, retry_backoff_sec,
+    )
+
+
+def _start(
+    stream, table, checkpoint_dir, lineage, salted, available_now,
+    max_retries, retry_backoff_sec,
+):
+    """Shared tail: fenced/retrying foreachBatch merge + checkpoint."""
     fence_writer = stream_writer_id(checkpoint_dir)
 
     def _apply(batch_df, batch_id: int) -> None:

@@ -199,3 +199,68 @@ def test_lineage_queryable_state_machine(tmp_path, spark):
     bad = lin.where(~F.col("success") & (F.col("partition_id") == -1)).count()
     assert (ok, bad) == (1, 1)
     assert lineage.last_successful_batch() == 0
+
+
+def test_multi_tailer_mixed_versions_no_backfill(tmp_path, spark):
+    """Live mixed v1+v2 ingestion through ONE streaming query (one
+    aligned stream per registry version, same checkpoint/fence) — no
+    batch backfill step; final state equals the event-fold oracle and
+    the table ends evolved to the v2 schema."""
+    from open_bus_gtfs_etl_spark.streaming.tailer import start_multi_tailer
+
+    ev = generate_events(
+        spark, 6000, n_conv=120, seed=17, seg_size=1500, v2_start_lsn=3000,
+        dup_rate=0.05, ooo_rate=0.05,
+    )
+    wal = str(tmp_path / "wal")
+    write_wal(ev, wal)
+    table = _mk(spark, tmp_path)
+    lineage = LineageLog(spark, str(tmp_path / "lineage"))
+    q = start_multi_tailer(
+        spark, table, wal, str(tmp_path / "ckpt"),
+        lineage=lineage, max_files_per_trigger=4,
+    )
+    run_until_caught_up(q)
+    got = _final(table)
+    want = fold_events(ev.toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # v1 rows were absorbed live: the table evolved to carry `tool`
+    assert "tool" in [f.name for f in table.stored_schema().fields]
+    lin = lineage.read().toPandas()
+    assert (lin[lin.partition_id == -1].success).all()
+
+
+def test_multi_tailer_kill_resume(tmp_path, spark):
+    import time
+
+    from open_bus_gtfs_etl_spark.streaming.tailer import start_multi_tailer
+
+    ev = generate_events(
+        spark, 4000, n_conv=80, seed=19, seg_size=1000, v2_start_lsn=2000
+    )
+    wal = str(tmp_path / "wal")
+    write_wal(ev, wal)
+
+    t_ref = SnapshotParquetTable.create(
+        spark, str(tmp_path / "lake_ref"), TRANSCRIPTS_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=4,
+    )
+    q = start_multi_tailer(spark, t_ref, wal, str(tmp_path / "ck_ref"))
+    run_until_caught_up(q)
+
+    t_int = SnapshotParquetTable.create(
+        spark, str(tmp_path / "lake_int"), TRANSCRIPTS_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=4,
+    )
+    ck = str(tmp_path / "ck_int")
+    q1 = start_multi_tailer(spark, t_int, wal, ck, max_files_per_trigger=2)
+    deadline = time.time() + 60
+    while t_int.last_committed_batch() < 0 and time.time() < deadline:
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(60)
+    assert t_int.last_committed_batch() >= 0, "no batch committed before kill"
+    q2 = start_multi_tailer(spark, t_int, wal, ck, max_files_per_trigger=2)
+    run_until_caught_up(q2)
+
+    pd.testing.assert_frame_equal(_final(t_int), _final(t_ref), check_dtype=False)
