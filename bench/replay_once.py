@@ -57,7 +57,17 @@ def main() -> None:
         # and thrash, understating the low level (and overstating
         # scaling). 32 partitions ≈ 512 MB each, the cluster norm.
         shuffle_partitions=max(32, cores),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        # AQE off for the replay job: the merge plan is statically
+        # sized already (explicit winner-key broadcast, data-sized
+        # level-invariant shuffle partitions), so AQE's contribution
+        # here is only its per-stage driver re-planning pause — pure
+        # serial cost, measured ~1.5 s per 16M batch at 8 cores
+        # (13.2 s vs 15.0 s interleaved fresh JVMs). Keep AQE ON in
+        # general sessions (skew joins, read-time coalescing); this is
+        # the dedicated replay-job profile, mirrored in
+        # jobs/replay_job.py.
+        extra_conf={"spark.ui.showConsoleProgress": "false",
+                    "spark.sql.adaptive.enabled": "false"},
     )
     spark.range(1000).count()
     _phase("session", t0)

@@ -46,7 +46,14 @@ def main() -> None:
     from open_bus_gtfs_etl_spark.sources.lake import SnapshotParquetTable
     from open_bus_gtfs_etl_spark.streaming.lineage import LineageLog
 
-    spark = get_spark(app_name="cdc_replay")
+    # dedicated replay-job profile: AQE off — the merge plan is
+    # statically sized (explicit broadcast, data-sized partitions) and
+    # AQE's per-stage re-planning is measurable driver-serial cost per
+    # batch (see bench/replay_once.py)
+    spark = get_spark(
+        app_name="cdc_replay",
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
 
     if args.create:
         table = SnapshotParquetTable.create(

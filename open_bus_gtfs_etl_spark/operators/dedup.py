@@ -130,6 +130,63 @@ def lww_dedup_argmax_join(
     )
 
 
+def lww_dedup_window_repart(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    carry_stats: bool = False,
+) -> DataFrame:
+    """Single-payload-shuffle LWW for bootstrap/full-replay batches.
+
+    Explicitly repartitions by the FIRST key column, then ranks within
+    key. ``HashPartitioning([k0])`` is a subset of the window's
+    ``ClusteredDistribution(key_cols)``, so the rank adds NO second
+    exchange — the payload crosses the wire exactly once. Compare
+    argmax (``lww_dedup_argmax_join``): keys+longs agg shuffle PLUS a
+    driver-serial broadcast build of every winner key PLUS the
+    join-back. For a batch that is mostly UNIQUE keys the join-back
+    filters almost nothing and the winner frame is as big as the batch
+    — this plan deletes both costs. For a high-duplication batch the
+    trade inverts: argmax shuffles only the winners' payload, while
+    this plan moves every wide input row once (measured 2× slower at
+    16M events / 1M keys — see apply_batch's dedup docstring), so it
+    is an explicit opt-in, not the default.
+
+    The clustering survives downstream: the merge's bucketed write
+    (bucket = f(k0)) can write ``partitionBy(bucket)`` directly from
+    these partitions with no bucket repartition (files per bucket ≤
+    shuffle partitions — size ``spark.sql.shuffle.partitions`` to the
+    batch, not the core count). Steady-state incremental merges keep
+    argmax: there the winner set is small, the broadcast is cheap, and
+    the target join dominates.
+
+    ``carry_stats`` computes the per-key counters with whole-partition
+    window frames over the SAME partitioning (no extra shuffle).
+    Skew note: a hot key's rows land in one partition here (sorted,
+    not combined) — for pathologically hot keys use the salted or
+    argmax plan.
+    """
+    out = df.repartition(F.col(key_cols[0]))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(lsn_col).desc(), F.col(ts_col).desc()
+    )
+    sel = out.withColumn("_rn", F.row_number().over(w))
+    extra = []
+    if carry_stats:
+        wu = Window.partitionBy(*key_cols)
+        sel = (
+            sel.withColumn("_n_dups", F.count("*").over(wu))
+            .withColumn("_lsn_min", F.min(lsn_col).over(wu))
+            .withColumn("_lsn_max", F.max(lsn_col).over(wu))
+        )
+        extra = ["_n_dups", "_lsn_min", "_lsn_max"]
+    return sel.where(F.col("_rn") == 1).select(
+        *key_cols, *payload_cols, *extra
+    )
+
+
 def lww_dedup_window(
     df: DataFrame,
     key_cols: list[str],

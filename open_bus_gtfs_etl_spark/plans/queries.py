@@ -914,25 +914,27 @@ D3_SQL = _BRUTE_JACCARD_SQL.format(thr="0.5")
 
 
 def d4_simhash_near_dups(spark, sf_dir):
-    """SimHash block-permutation candidates (8 blocks of 8 bits,
-    ``max_hamming = n_blocks - 1 = 7`` so the candidate set is
-    pigeonhole-EXACT for the claimed radius: every pair within hamming 7
-    is guaranteed to share a block), verified with exact 3-gram
-    Jaccard > 0.8 — same oracle shape as d3, different candidate
-    generator.
+    """SimHash block-permutation candidates (8 blocks of 8 bits, then a
+    hamming ≤ 12 filter), verified with exact 3-gram Jaccard > 0.8 —
+    same oracle shape as d3, different candidate generator.
 
-    Oracle-equality caveat (disclosed, not structural): the DuckDB
-    brute force includes EVERY pair with jaccard > 0.8, while simhash
-    only guarantees low hamming *in expectation* for high jaccard — a
-    corpus could contain a j>0.8 pair at hamming >7 that the candidate
-    stage misses. On this synthetic corpus the margin is wide (dup
-    pairs sit at j≈0.99 / hamming ≈0-2, the next band at j≈0.1), so
-    equality holds; treat the oracle check as corpus-dependent evidence
-    of the pipeline, not a proof of simhash recall."""
+    Two disclosed, corpus-dependent layers (neither is structural):
+    (1) pigeonhole only guarantees a shared block for hamming ≤
+    n_blocks-1 = 7, so the 8-12 hamming band is best-effort candidate
+    recall — a hamming-9 pair sharing no block would be missed;
+    (2) the DuckDB brute force includes EVERY pair with jaccard > 0.8,
+    while simhash only gives low hamming for high jaccard *in
+    expectation* (on the sf0.001 corpus, 3 of 28 true pairs sit at
+    hamming 8-12 — a radius-7 candidate set provably loses them, which
+    is why the filter is 12, not the pigeonhole-exact 7). On these
+    corpora the margin is wide (dup pairs at j≈0.99, next band j≈0.1)
+    and equality holds at every tested sf; treat the oracle check as
+    corpus-dependent evidence of the pipeline, not a proof of simhash
+    recall."""
     from ..operators import textdedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = textdedup.simhash_candidates(d, max_hamming=7, n_blocks=8).select(
+    cand = textdedup.simhash_candidates(d, max_hamming=12, n_blocks=8).select(
         "id_a", "id_b"
     )
     return (

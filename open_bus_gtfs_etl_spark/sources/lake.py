@@ -253,6 +253,7 @@ class SnapshotParquetTable:
         stats: bool | str = True,
         writer: str = "default",
         discovery: str = "auto",
+        clustered: bool = False,
     ) -> dict:
         """Copy-on-write MERGE of a pre-deduplicated batch of winners.
 
@@ -290,6 +291,20 @@ class SnapshotParquetTable:
         - ``"auto"`` (default): ``"all"`` for the bootstrap merge into
           an empty table (everything is touched by definition),
           ``"exact"`` afterwards.
+
+        Bootstrap (empty table) skips the target join entirely — the
+        merge is a pure source projection (every winner inserts, or
+        tombstones for deletes), one job, no join shuffle. Catalyst's
+        empty-relation propagation would eventually fold the join too,
+        but making it explicit guarantees the plan and the outcome
+        column without relying on an optimizer rule.
+
+        ``clustered`` declares that ``winners`` is ALREADY hash-
+        clustered by ``key_cols[0]`` (the fused window-dedup plan does
+        this) — the bucketed write then writes ``partitionBy(bucket)``
+        straight from those partitions instead of paying a second
+        payload shuffle on the bucket key. Files per bucket become ≤
+        the shuffle partition count (size partitions to the batch).
         """
         m = self.manifest()
         fences = dict(m.get("fences", {}))
@@ -308,7 +323,7 @@ class SnapshotParquetTable:
             }
 
         if m.get("mode") == "mor":
-            return self._merge_mor(winners, batch_id, m, stats, writer)
+            return self._merge_mor(winners, batch_id, m, stats, writer, clustered)
 
         key_cols = m["key_cols"]
         user_cols = m["user_cols"]
@@ -340,8 +355,16 @@ class SnapshotParquetTable:
                 F.min("_lsn_min").alias("lsn_min"),
                 F.max("_lsn_max").alias("lsn_max"),
             ]
-        exact = discovery == "exact" or (discovery == "auto" and bool(m["buckets"]))
-        if exact:
+        bootstrap = not m["buckets"]
+        exact = not bootstrap and (
+            discovery == "exact" or (discovery == "auto" and bool(m["buckets"]))
+        )
+        if bootstrap:
+            # empty target: no join at all — every winner inserts (or
+            # tombstones); the observation rides the write job
+            src = src.observe(obs_src, *src_exprs)
+            touched = sorted(range(n_buckets))
+        elif exact:
             # the winners frame feeds two consumers (bucket discovery,
             # the rewrite join) — persist once instead of recomputing
             # the dedup shuffle twice
@@ -360,60 +383,90 @@ class SnapshotParquetTable:
             touched = sorted(range(n_buckets))
             tgt = self.read_stored()
 
-        s = src.alias("s")
-        t = tgt.alias("t")
-        cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key_cols]
-        joined = s.join(t, cond, "full_outer")
+        if bootstrap:
+            is_del = F.col("op") == "delete"
+            out_cols = [F.col(k) for k in key_cols]
+            for c in value_cols:
+                out_cols.append(
+                    F.when(is_del, F.lit(None).cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            out_cols += [
+                F.col("lsn").alias("_lsn"),
+                F.col("ts").alias("_ts"),
+                is_del.alias("_deleted"),
+                F.when(is_del, F.lit("delete_noop"))
+                .otherwise(F.lit("inserted"))
+                .alias("_outcome"),
+                (F.col("_n_dups") if carry else F.lit(None).cast("long")).alias(
+                    "_src_rows"
+                ),
+                (F.col("_lsn_min") if carry else F.lit(None).cast("long")).alias(
+                    "_src_lsn_min"
+                ),
+                (F.col("_lsn_max") if carry else F.lit(None).cast("long")).alias(
+                    "_src_lsn_max"
+                ),
+                F.col(BUCKET_COL),
+            ]
+            merged = src.select(out_cols)
+        else:
+            s = src.alias("s")
+            t = tgt.alias("t")
+            cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key_cols]
+            joined = s.join(t, cond, "full_outer")
 
-        s_present = F.col("s.lsn").isNotNull()
-        t_present = F.col("t._lsn").isNotNull()
-        s_wins = s_present & (
-            ~t_present
-            | (F.col("s.lsn") > F.col("t._lsn"))
-            | ((F.col("s.lsn") == F.col("t._lsn")) & (F.col("s.ts") >= F.col("t._ts")))
-        )
-        is_del = F.col("s.op") == "delete"
-        t_live = t_present & ~F.col("t._deleted")
-
-        # the MERGE branch outcome, computed IN the rewrite join and
-        # persisted into the new files — lineage counters then come from
-        # a columnar scan of what was just written, not a second join
-        outcome = (
-            F.when(~s_present, F.lit("carried"))
-            .when(~s_wins, F.lit("stale_skipped"))
-            .when(is_del & t_live, F.lit("deleted"))
-            .when(is_del, F.lit("delete_noop"))
-            .when(t_live, F.lit("updated"))
-            .otherwise(F.lit("inserted"))
-        )
-        src_rows = F.col("s._n_dups") if carry else F.lit(None).cast("long")
-        src_lsn_min = F.col("s._lsn_min") if carry else F.lit(None).cast("long")
-        src_lsn_max = F.col("s._lsn_max") if carry else F.lit(None).cast("long")
-
-        out_cols = []
-        for k in key_cols:
-            out_cols.append(
-                F.when(s_wins, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
+            s_present = F.col("s.lsn").isNotNull()
+            t_present = F.col("t._lsn").isNotNull()
+            s_wins = s_present & (
+                ~t_present
+                | (F.col("s.lsn") > F.col("t._lsn"))
+                | ((F.col("s.lsn") == F.col("t._lsn")) & (F.col("s.ts") >= F.col("t._ts")))
             )
-        for c in value_cols:
-            out_cols.append(
-                F.when(s_wins & is_del, F.lit(None).cast(types[c]))
-                .when(s_wins, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
+            is_del = F.col("s.op") == "delete"
+            t_live = t_present & ~F.col("t._deleted")
+
+            # the MERGE branch outcome, computed IN the rewrite join and
+            # persisted into the new files — lineage counters then come
+            # from a columnar scan of what was just written, not a
+            # second join
+            outcome = (
+                F.when(~s_present, F.lit("carried"))
+                .when(~s_wins, F.lit("stale_skipped"))
+                .when(is_del & t_live, F.lit("deleted"))
+                .when(is_del, F.lit("delete_noop"))
+                .when(t_live, F.lit("updated"))
+                .otherwise(F.lit("inserted"))
             )
-        out_cols += [
-            F.when(s_wins, F.col("s.lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
-            F.when(s_wins, F.col("s.ts")).otherwise(F.col("t._ts")).alias("_ts"),
-            F.when(s_wins, is_del).otherwise(F.col("t._deleted")).alias("_deleted"),
-            outcome.alias("_outcome"),
-            F.when(s_present, src_rows).alias("_src_rows"),
-            F.when(s_present, src_lsn_min).alias("_src_lsn_min"),
-            F.when(s_present, src_lsn_max).alias("_src_lsn_max"),
-        ]
-        merged = joined.select(out_cols).withColumn(
-            BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
-        )
+            src_rows = F.col("s._n_dups") if carry else F.lit(None).cast("long")
+            src_lsn_min = F.col("s._lsn_min") if carry else F.lit(None).cast("long")
+            src_lsn_max = F.col("s._lsn_max") if carry else F.lit(None).cast("long")
+
+            out_cols = []
+            for k in key_cols:
+                out_cols.append(
+                    F.when(s_wins, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
+                )
+            for c in value_cols:
+                out_cols.append(
+                    F.when(s_wins & is_del, F.lit(None).cast(types[c]))
+                    .when(s_wins, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                )
+            out_cols += [
+                F.when(s_wins, F.col("s.lsn")).otherwise(F.col("t._lsn")).alias("_lsn"),
+                F.when(s_wins, F.col("s.ts")).otherwise(F.col("t._ts")).alias("_ts"),
+                F.when(s_wins, is_del).otherwise(F.col("t._deleted")).alias("_deleted"),
+                outcome.alias("_outcome"),
+                F.when(s_present, src_rows).alias("_src_rows"),
+                F.when(s_present, src_lsn_min).alias("_src_lsn_min"),
+                F.when(s_present, src_lsn_max).alias("_src_lsn_max"),
+            ]
+            merged = joined.select(out_cols).withColumn(
+                BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
+            )
 
         # outcome counters ride the write job as an Observation — no
         # read-back job; the round-1 kernel re-read the written files
@@ -437,10 +490,21 @@ class SnapshotParquetTable:
         new_version = max(m["version"], self._max_version()) + 1
         rel_data = os.path.join("data", f"v{new_version:09d}")
         out_path = os.path.join(self.root, rel_data)
+        if clustered and bootstrap:
+            # winners are already hash-clustered by key_cols[0] (fused
+            # window dedup): bucket = f(key_cols[0]) is constant within
+            # a key, so partitionBy can split the existing partitions
+            # directly — no second payload shuffle. Sorting bucket-first
+            # satisfies the writer's required ordering (no writer-side
+            # re-sort). After a join (non-bootstrap) clustering is gone,
+            # so the hint only applies to the bootstrap projection.
+            out_df = merged.sortWithinPartitions(BUCKET_COL, *key_cols)
+        else:
+            out_df = merged.repartition(
+                max(1, len(touched)), F.col(BUCKET_COL)
+            ).sortWithinPartitions(*key_cols)
         (
-            merged.repartition(max(1, len(touched)), F.col(BUCKET_COL))
-            .sortWithinPartitions(*key_cols)
-            .write.mode("overwrite")
+            out_df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out_path)
         )
@@ -522,6 +586,7 @@ class SnapshotParquetTable:
         m: dict,
         stats: bool | str,
         writer: str,
+        clustered: bool = False,
     ) -> dict:
         """Merge-on-read apply: append the deduped winners as a DELTA,
         one directory per touched bucket — ONE Spark job, no read of the
@@ -594,10 +659,16 @@ class SnapshotParquetTable:
         new_version = max(m["version"], self._max_version()) + 1
         rel_data = os.path.join("data", f"v{new_version:09d}")
         out_path = os.path.join(self.root, rel_data)
+        if clustered:
+            # MoR never joins the target, so the fused window dedup's
+            # key clustering always survives to the delta write
+            out_df = delta.sortWithinPartitions(BUCKET_COL, *key_cols)
+        else:
+            out_df = delta.repartition(
+                n_buckets, F.col(BUCKET_COL)
+            ).sortWithinPartitions(*key_cols)
         (
-            delta.repartition(n_buckets, F.col(BUCKET_COL))
-            .sortWithinPartitions(*key_cols)
-            .write.mode("overwrite")
+            out_df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out_path)
         )
@@ -907,9 +978,12 @@ class IcebergTable:
         self.value_cols = value_cols or ["role", "text", "tool", "ts"]
 
     def merge(self, winners, batch_id: int, stats: bool = True,
-              writer: str = "default", discovery: str = "auto") -> dict:
-        # ``discovery`` is accepted for LakeTable interface parity;
-        # Iceberg's MERGE plans its own file pruning (metadata min/max)
+              writer: str = "default", discovery: str = "auto",
+              clustered: bool = False) -> dict:
+        # ``discovery``/``clustered`` are accepted for LakeTable
+        # interface parity; Iceberg's MERGE plans its own file pruning
+        # (metadata min/max) and write distribution (TBLPROPERTIES
+        # write.distribution-mode)
         fence = self._fences().get(writer, -1)
         if batch_id is not None and batch_id <= fence:
             return {"skipped_fenced": True}

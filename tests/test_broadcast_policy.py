@@ -111,7 +111,7 @@ class _IcebergShapedTable:
         return T.StructType(STORED_TRANSCRIPTS_SCHEMA.fields)
 
     def merge(self, winners, batch_id, stats=True, writer="default",
-              discovery="auto"):
+              discovery="auto", clustered=False):
         self.merged += 1
         return {"skipped_fenced": False}
 
