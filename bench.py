@@ -192,8 +192,13 @@ def main() -> None:
         # without a budget the round loop could take hours — one full
         # round always runs, further rounds only while budget remains
         budget = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "1800"))
+        # the trailing MoR sample spends out of the SAME budget — the
+        # scaling loop's deadline reserves time for it so the whole
+        # bench stays bounded by gen+queries+budget even when the last
+        # round starts just before the deadline
+        mor_reserve = float(os.environ.get("BENCH_MOR_RESERVE_SEC", "420"))
         t_scaling = time.time()
-        deadline = t_scaling + budget
+        deadline = t_scaling + max(300.0, budget - mor_reserve)
         best_probe = max(_probe(), _probe())
         samples: dict[int, list[dict]] = {low: [], high: []}
         # adaptive: keep adding ADJACENT (same-window) high/low pairs

@@ -199,3 +199,49 @@ def lsh_topk(
         elif dropped is not None:
             dropped["n_dropped_candidates"] = 0
     return brute_force_topk(cand, query, k, vec_col, id_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.465,
+    n_centroids: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucket-restricted:
+    every vector is assigned to its nearest seed-derived centroid
+    (``assign_centroid`` — deterministic literals shared with the SQL
+    oracle), candidate pairs are the SAME-CENTROID pairs (an equi-join
+    on cid — n²/k work instead of n², the only shape that survives
+    corpus scale), and candidates are verified with the exact cosine.
+
+    Like ``ivf_topk``, the restriction is part of the CONTRACT, not a
+    hidden recall loss: the oracle applies the identical centroid
+    assignment, so both engines compute the same approximate result —
+    a cross-centroid near-dup pair is out of scope for both. Returns
+    (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to 6
+    decimals AFTER the threshold filter.
+    """
+    cents = ivf_centroids(dim, n_centroids=n_centroids)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("v"),
+        assign_centroid(vec_col, cents).alias("cid"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(cos > F.lit(threshold))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -1055,6 +1055,95 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 E2_SQL = _build_e2_sql()
 
 
+def d6_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, IVF-bucket-restricted: vectors
+    join only within their nearest seed-derived centroid bucket (the
+    equi-join candidate shape — n²/k, not n²), exact cosine verifies.
+    The centroid literals are shared verbatim with the oracle, so the
+    bucket restriction is part of the checkable contract (e2 style),
+    not a hidden recall loss."""
+    from ..operators import similarity
+
+    em = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(em, threshold=0.465).select(
+        "id_a", "id_b", "cos_sim"
+    )
+
+
+def _build_d6_sql(dim: int = 64, n_centroids: int = 8, thr: float = 0.465) -> str:
+    from ..operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids=n_centroids)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    cos = (
+        "list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))"
+        " / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(b.v, x -> x * x))))"
+    )
+    return f"""
+WITH cents(cid, c) AS (VALUES
+    {cent_rows}
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum(list_transform(generate_series(1, len(v)),
+                             i -> v[i] * c[i])) DESC, cid
+         ) AS rn
+  FROM emb CROSS JOIN cents
+),
+asg AS (SELECT vec_id, v, cid FROM assigned WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {cos} > {thr}
+"""
+
+
+D6_SQL = _build_d6_sql()
+
+
+def t4_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    tokenization (letter runs | digit runs | single punctuation — the
+    word/number/symbol split every byte-pair tokenizer starts from),
+    plus the chars-per-token compression ratio."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    ws = F.size(F.split("text", " ")).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("long")
+    n_chars = F.length("text").cast("long")
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            F.when(bpe > 0, n_chars.cast("double") / bpe.cast("double")), 6
+        ).alias("chars_per_token"),
+    )
+
+
+T4_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CAST(length(text) AS DOUBLE)
+             / NULLIF(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE), 0), 6)
+         AS chars_per_token
+FROM documents
+"""
+
+
 def x1_multimodal_features(spark, sf_dir):
     """Binary-column decode/featurize plumbing via Arrow mapInPandas.
     The decode is a deterministic stand-in (no codec libs in this
@@ -1122,6 +1211,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash_near_dups": d4_simhash_near_dups,
     "d5_dedup_survivors": d5_dedup_survivors,
+    "d6_embedding_near_dups": d6_embedding_near_dups,
+    "t4_token_count": t4_token_count,
     "e2_ivf_ann_topk": e2_ivf_ann_topk,
     "x1_multimodal_features": x1_multimodal_features,
 }
@@ -1163,6 +1254,8 @@ ORACLES: dict[str, str] = {
     "d3_minhash_lsh": D3_SQL,
     "d4_simhash_near_dups": D4_SQL,
     "d5_dedup_survivors": D5_SQL,
+    "d6_embedding_near_dups": D6_SQL,
+    "t4_token_count": T4_SQL,
     "e2_ivf_ann_topk": E2_SQL,
     "x1_multimodal_features": X1_SQL,
 }
