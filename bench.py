@@ -121,6 +121,7 @@ def _replay_subprocess(cores: int, wal_dir: str, n_events: int, lake_root: str,
     # initial heap mid-merge costs tens of seconds of GC stalls on the
     # first (timed) big batch in a fresh JVM
     env["SPARK_SUBMIT_OPTS"] = (env.get("SPARK_SUBMIT_OPTS", "") + " -Xms8g").strip()
+    out = None
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench", "replay_once.py"),
@@ -131,11 +132,16 @@ def _replay_subprocess(cores: int, wal_dir: str, n_events: int, lake_root: str,
         )
         line = out.stdout.strip().splitlines()[-1]
         return json.loads(line)
-    except Exception:
-        # a level can be lost to host noise/timeouts — report it as a
-        # failed sample rather than sinking the whole bench run
+    except Exception as e:
+        # a level can be lost to host noise/timeouts/OOM kills — report
+        # it as a failed sample WITH its stderr tail (a bare 0.0 sample
+        # is undiagnosable) rather than sinking the whole bench run
+        tail = ""
+        if out is not None:
+            tail = (out.stderr or "")[-300:]
         return {"cores": cores, "elapsed_sec": None, "events_per_sec": 0.0,
-                "failed": True}
+                "failed": True, "error": f"{type(e).__name__}: {e}",
+                "stderr_tail": tail}
 
 
 def main() -> None:
@@ -224,6 +230,21 @@ def main() -> None:
                 s["probe"] = round(score / best_probe, 3)
                 samples[cores].append(s)
                 shutil.rmtree(lake, ignore_errors=True)
+                if cores == high:
+                    best_high = max(
+                        x["events_per_sec"] for x in samples[high]
+                    )
+                    if s["events_per_sec"] < 0.4 * best_high:
+                        # the window collapsed mid-sample (a bad phase
+                        # degrades runs up to 20x and a doomed low-side
+                        # partner burns ~1/3 of the whole budget) —
+                        # abandon this round's pair and wait for a
+                        # better window instead
+                        s["round_abandoned"] = True
+                        samples[low].append(
+                            {"events_per_sec": 0.0, "skipped_bad_window": True}
+                        )
+                        break
             r += 1
             if max(_pair_effs(samples, low, high), default=0) >= target_eff:
                 break
@@ -270,7 +291,10 @@ def main() -> None:
                 "samples": {
                     str(c): [
                         {"events_per_sec": s["events_per_sec"],
-                         "probe": s.get("probe")}
+                         "probe": s.get("probe"),
+                         **({"error": s["error"],
+                             "stderr_tail": s.get("stderr_tail", "")}
+                            if s.get("failed") else {})}
                         for s in samples[c]
                     ]
                     for c in (low, high)

@@ -492,6 +492,48 @@ FROM documents
 """
 
 
+def u1_set_ops(spark, sf_dir):
+    """§2.6 set operations as a driver-checked query (the engine uses
+    unionByName/exceptAll in genlog and registry alignment; this pins
+    their semantics against ANSI EXCEPT ALL / INTERSECT ALL / UNION
+    ALL): BUILDING-segment customers split into those without orders
+    (exceptAll) and with orders (intersectAll), tagged, unioned, and
+    rolled up per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation")
+    )
+    b = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", F.col("c_nationkey").cast("long").alias("nation"))
+    )
+    tagged = a.exceptAll(b).withColumn("tag", F.lit("without_orders")).unionByName(
+        a.intersectAll(b).withColumn("tag", F.lit("with_orders"))
+    )
+    return tagged.groupBy("nation", "tag").agg(F.count("*").alias("n_customers"))
+
+
+U1_SQL = """
+WITH a AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+b AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+    AND c_custkey IN (SELECT o_custkey FROM orders)
+),
+tagged AS (
+  SELECT *, 'without_orders' AS tag FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+  UNION ALL
+  SELECT *, 'with_orders' AS tag FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+)
+SELECT nation, tag, COUNT(*) AS n_customers FROM tagged GROUP BY nation, tag
+"""
+
+
 def a6_all_over_group(spark, sf_dir):
     """A6: all()-over-group gate (reference: date valid iff all 4 files
     present & big enough, update_gtfs_data_db.py:35-45)."""
@@ -1196,6 +1238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_outcome_rollup": a1_outcome_rollup,
     "a5_distinct_counts": a5_distinct_counts,
     "a6_all_over_group": a6_all_over_group,
+    "u1_set_ops": u1_set_ops,
     "w1_top1_per_key": w1_top1_per_key,
     "w2_topk_per_group": w2_topk_per_group,
     "w3_session_starts": w3_session_starts,
@@ -1239,6 +1282,7 @@ ORACLES: dict[str, str] = {
     "a1_outcome_rollup": A1_SQL,
     "a5_distinct_counts": A5_SQL,
     "a6_all_over_group": A6_SQL,
+    "u1_set_ops": U1_SQL,
     "w1_top1_per_key": W1_SQL,
     "w2_topk_per_group": W2_SQL,
     "w3_session_starts": W3_SQL,

@@ -721,7 +721,12 @@ class SnapshotParquetTable:
         their delta list cleared. Returns the compacted bucket ids.
         Amortizes read cost: run on a cadence or when delta counts pass
         a threshold; the rewrite is the CoW cost paid once per N batches
-        instead of every batch."""
+        instead of every batch. Measured economics (BENCH.md
+        "Merge-on-read economics"): read latency grows ~linearly with
+        delta depth (~+0.45 s/delta at 16M rows/8 cores) and a compact
+        costs about one CoW rewrite of the touched buckets — the
+        recommended steady-state cadence is ``compact(max_deltas=4)``
+        after each apply."""
         m = self.manifest()
         todo = sorted(
             int(b) for b, rels in m.get("deltas", {}).items() if len(rels) > max_deltas
