@@ -88,7 +88,10 @@ def main() -> None:
                 reads["read_sec_0_deltas"] = _read_sec()
             elif _deltas() == 4:
                 reads["read_sec_4_deltas"] = _read_sec()
-        reads[f"read_sec_{_deltas()}_deltas"] = _read_sec()
+        # distinct key: when the final depth is also 4 this must NOT
+        # clobber the mid-run read_sec_4_deltas data point the
+        # compaction-cadence analysis fits against
+        reads[f"read_sec_final_{_deltas()}_deltas"] = _read_sec()
 
         depth_before = _deltas()
         t0 = time.time()

@@ -996,7 +996,15 @@ def d5_dedup_survivors(spark, sf_dir):
     equi-joins), and the min doc_id per cluster survives. The
     reference's set-semantics insert-if-absent
     (load_stops_to_db.py:73-81) lifted to the near-dup graph. Oracle:
-    DuckDB recursive CTE over the same brute-force pair set."""
+    DuckDB recursive CTE over the brute-force all-pairs set.
+
+    Disclosure (same shape as d4's): the Spark side clusters
+    MinHash-LSH candidate pairs while the oracle brute-forces every
+    pair, so equality is corpus-dependent evidence of the pipeline, not
+    a proof of LSH recall — a missed candidate pair would change
+    cluster membership (split a cluster / flip a survivor), not just
+    drop a pair row. On these corpora the 8-band/32-hash configuration
+    recovers every jaccard>0.5 pair at every tested sf."""
     from ..operators import textdedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")

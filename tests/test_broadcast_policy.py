@@ -36,13 +36,16 @@ class _ManifestStub:
 
 
 def test_resolver_thresholds():
-    # no manifest at all (Iceberg backend) → broadcast (micro-batch default)
+    # no manifest at all (Iceberg backend), no batch to observe → NO
+    # hint: zero evidence the winner frame is small, AQE sizes at runtime
     class NoManifest:
         pass
 
-    assert resolve_broadcast_keys(NoManifest()) is True
-    # first batch: no recorded count → broadcast
-    assert resolve_broadcast_keys(_ManifestStub(None)) is True
+    assert resolve_broadcast_keys(NoManifest()) is False
+    # first batch, no batch supplied: no evidence → NO hint (a
+    # 10^8-winner bootstrap under a forced broadcast is the OOM the
+    # policy exists to prevent)
+    assert resolve_broadcast_keys(_ManifestStub(None)) is False
     # small recorded winner set → broadcast
     assert resolve_broadcast_keys(_ManifestStub(1_000_000)) is True
     # recorded count over the cap → shuffle, with NO caller flag
@@ -50,6 +53,35 @@ def test_resolver_thresholds():
     assert resolve_broadcast_keys(_ManifestStub(huge)) is False
     # cap is a parameter (deployments with bigger executors raise it)
     assert resolve_broadcast_keys(_ManifestStub(huge), cap_bytes=1 << 40) is True
+
+
+def test_bootstrap_observes_winner_count_before_choosing(tmp_path, spark):
+    """A fresh no-history table: the 'auto' policy must derive the
+    broadcast decision from an OBSERVED winner count of the incoming
+    batch (one keys-only HLL pass), never from a blind default — so a
+    key count over the cap takes the non-broadcast path with no caller
+    flag, and a small one still earns the hint."""
+    t = SnapshotParquetTable.create(
+        spark, str(tmp_path / "boot"), TRANSCRIPTS_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=4,
+    )
+    assert t.manifest().get("last_n_winners") is None
+    ev = generate_events(spark, 2000, n_conv=50, seed=17).drop("seg")
+    keys = ["conv_id", "turn_idx"]
+    # observed-small → hint; observed over the cap → no hint. The cap is
+    # the policy parameter (same code path as a 10^8-key batch under the
+    # default 512 MB cap — the decision is evidence × cap, nothing else).
+    assert resolve_broadcast_keys(t, batch=ev, key_cols=keys) is True
+    assert (
+        resolve_broadcast_keys(t, cap_bytes=10 * BROADCAST_KEY_BYTES,
+                               batch=ev, key_cols=keys)
+        is False
+    )
+    # steady state: the first merge records the in-flight winner count,
+    # after which no observation pass is needed
+    apply_batch(t, ev, batch_id=0)  # broadcast_keys defaults to "auto"
+    assert t.manifest()["last_n_winners"] > 0
+    assert resolve_broadcast_keys(t) is True
 
 
 def _analyzed(df) -> str:
