@@ -243,27 +243,67 @@ def simhash_candidates(
     seed: int = 11,
     max_bucket_size: int | None = None,
     dropped: dict | None = None,
+    combo_m: int = 1,
+    sig_col: str | None = None,
 ) -> DataFrame:
-    """SimHash candidate pairs via block permutation: split the 64-bit
-    signature into ``n_blocks`` blocks; by pigeonhole, any pair within
-    hamming distance < n_blocks shares at least one exact block →
-    equality join per block, then exact hamming filter via
-    bit_count(xor). Only equi-joins shuffle. Returns
-    (id_a, id_b, hamming)."""
-    sig = simhash(text_col, seed=seed)
+    """SimHash candidate pairs via multi-block combination keys (the
+    Manku/Jain/Sarma WWW'07 permuted-table scheme expressed as an
+    equi-join): split the 64-bit signature into ``n_blocks`` blocks and
+    key each document on every size-``combo_m`` combination of block
+    values (C(n_blocks, combo_m) keys per doc, packed into one long).
+
+    STRUCTURAL recall guarantee (pigeonhole): ``h`` differing bits
+    corrupt at most ``h`` blocks, leaving ≥ n_blocks − h clean — so any
+    pair within hamming distance ≤ ``n_blocks − combo_m`` shares at
+    least one clean combination key and is guaranteed a candidate.
+    Candidate recall is structural iff
+    ``max_hamming ≤ n_blocks − combo_m``; the final exact hamming
+    filter (bit_count(xor)) then makes precision exact.
+
+    Scale trade (uniform-signature expectation): keys per doc =
+    C(n_blocks, combo_m); expected candidate pairs ≈
+    C(n_blocks, combo_m) · n² / 2^(combo_m·64/n_blocks). Larger
+    ``combo_m`` buys key selectivity at the cost of explode fan-out:
+    (8,1) → radius 7, 8-bit keys, 8/doc; (16,2) → radius 14, 8-bit
+    keys, 120/doc; (16,4) → radius 12, 16-bit keys, 1820/doc. Large
+    hamming radii are intrinsically expensive for LSH — prefer the
+    smallest (n_blocks, combo_m) whose radius covers ``max_hamming``,
+    exact-dedup first, and ``max_bucket_size`` as the degenerate-corpus
+    backstop. Only equi-joins shuffle, and only (id, key, sig) rows —
+    never text.
+
+    ``sig_col``: use a precomputed long signature column instead of
+    hashing ``text_col`` (testing / signature reuse across calls).
+    Returns (id_a, id_b, hamming).
+    """
+    from itertools import combinations
+
+    if not 1 <= combo_m < n_blocks:
+        raise ValueError(f"combo_m must be in [1, n_blocks), got {combo_m}")
+    sig = F.col(sig_col).cast("long") if sig_col else simhash(text_col, seed=seed)
     base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     block_bits = 64 // n_blocks
     mask = (1 << block_bits) - 1
-    blocks = F.array(
+
+    def blk_val(i: int) -> F.Column:
+        return F.shiftright("sig", i * block_bits).bitwiseAND(F.lit(mask))
+
+    def combo_key(combo: tuple[int, ...]) -> F.Column:
+        # pack the m block values into one long — always fits:
+        # combo_m · block_bits = combo_m · 64/n_blocks ≤ 64
+        key = blk_val(combo[0])
+        for i in combo[1:]:
+            key = F.shiftleft(key, block_bits) + blk_val(i)
+        return key
+
+    combos = list(combinations(range(n_blocks), combo_m))
+    keys = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright("sig", i * block_bits).bitwiseAND(F.lit(mask)).alias("val"),
-            )
-            for i in range(n_blocks)
+            F.struct(F.lit(ci).alias("blk"), combo_key(c).alias("val"))
+            for ci, c in enumerate(combos)
         ]
     )
-    ex = base.select("id", "sig", F.explode(blocks).alias("b")).select(
+    ex = base.select("id", "sig", F.explode(keys).alias("b")).select(
         "id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
     ex = _cap_buckets(ex, ["blk", "val"], max_bucket_size, dropped)

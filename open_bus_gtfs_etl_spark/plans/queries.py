@@ -956,29 +956,27 @@ D3_SQL = _BRUTE_JACCARD_SQL.format(thr="0.5")
 
 
 def d4_simhash_near_dups(spark, sf_dir):
-    """SimHash block-permutation candidates (8 blocks of 8 bits, then a
-    hamming ≤ 12 filter), verified with exact 3-gram Jaccard > 0.8 —
-    same oracle shape as d3, different candidate generator.
+    """SimHash multi-block candidates — 16 blocks of 4 bits keyed on
+    every 2-block combination (structural recall radius 16-2 = 14 ≥ the
+    hamming ≤ 12 filter: any pair within the filter is GUARANTEED a
+    candidate, pigeonhole, no corpus dependence) — verified with exact
+    3-gram Jaccard > 0.8. Same oracle shape as d3, different candidate
+    generator; the adversarial hamming-9 pair that the old 8×8-bit
+    single-block config provably missed is unit-tested in
+    tests/test_training_ops.py.
 
-    Two disclosed, corpus-dependent layers (neither is structural):
-    (1) pigeonhole only guarantees a shared block for hamming ≤
-    n_blocks-1 = 7, so the 8-12 hamming band is best-effort candidate
-    recall — a hamming-9 pair sharing no block would be missed;
-    (2) the DuckDB brute force includes EVERY pair with jaccard > 0.8,
-    while simhash only gives low hamming for high jaccard *in
-    expectation* (on the sf0.001 corpus, 3 of 28 true pairs sit at
-    hamming 8-12 — a radius-7 candidate set provably loses them, which
-    is why the filter is 12, not the pigeonhole-exact 7). On these
-    corpora the margin is wide (dup pairs at j≈0.99, next band j≈0.1)
-    and equality holds at every tested sf; treat the oracle check as
-    corpus-dependent evidence of the pipeline, not a proof of simhash
-    recall."""
+    One remaining disclosed layer: the DuckDB brute force includes
+    EVERY pair with jaccard > 0.8, while high jaccard implies hamming
+    ≤ 12 only in (tight) concentration — a true pair at hamming ≥ 13
+    would be excluded by the FILTER itself, with any candidate scheme.
+    On these corpora the margin is wide (dup pairs hamming ≤ 12 at
+    j≈0.99, next band j≈0.1) and equality holds at every tested sf."""
     from ..operators import textdedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = textdedup.simhash_candidates(d, max_hamming=12, n_blocks=8).select(
-        "id_a", "id_b"
-    )
+    cand = textdedup.simhash_candidates(
+        d, max_hamming=12, n_blocks=16, combo_m=2
+    ).select("id_a", "id_b")
     return (
         textdedup.jaccard_pairs(d, cand)
         .where(F.col("jaccard") > 0.8)

@@ -65,6 +65,55 @@ def test_simhash_near_dups(spark):
     assert planted <= found
 
 
+def test_simhash_structural_recall_adversarial_pair(spark):
+    """A hamming-9 pair with every 8-bit block corrupted: the old
+    (n_blocks=8, combo_m=1) config PROVABLY misses it (no shared block
+    → no candidate, despite passing the hamming ≤ 12 filter); the d4
+    production config (16 blocks, 2-block combination keys, structural
+    radius 14) must find it."""
+    bits = [0, 1, 8, 16, 24, 32, 40, 48, 56]  # touches all 8 8-bit blocks
+    sig_b = sum(1 << b for b in bits)
+    df = spark.createDataFrame([(1, 0), (2, sig_b)], "doc_id long, sig long")
+    old = textdedup.simhash_candidates(
+        df, sig_col="sig", max_hamming=12, n_blocks=8, combo_m=1
+    )
+    assert old.count() == 0
+    new = textdedup.simhash_candidates(
+        df, sig_col="sig", max_hamming=12, n_blocks=16, combo_m=2
+    )
+    rows = new.collect()
+    assert len(rows) == 1 and rows[0].hamming == 9
+
+
+def test_simhash_combo_worst_case_spread_within_radius(spark):
+    """Hamming 12 spread over 12 DISTINCT 4-bit blocks — the worst
+    placement inside the filter. (16,2) leaves 4 clean blocks ≥ 2, so
+    the pair is structurally guaranteed."""
+    sig_b = sum(1 << (4 * i) for i in range(12))
+    df = spark.createDataFrame([(1, 0), (2, sig_b)], "doc_id long, sig long")
+    rows = textdedup.simhash_candidates(
+        df, sig_col="sig", max_hamming=12, n_blocks=16, combo_m=2
+    ).collect()
+    assert len(rows) == 1 and rows[0].hamming == 12
+
+
+def test_simhash_combo_radius_boundary(spark):
+    """Radius formula is exact: 15 errors in 15 distinct 4-bit blocks
+    leave 1 clean block < combo_m=2 → outside the (16,2) radius of 14,
+    missed; (16,1) has radius 15 and still finds it."""
+    sig_b = sum(1 << (4 * i) for i in range(15))
+    df = spark.createDataFrame([(1, 0), (2, sig_b)], "doc_id long, sig long")
+    miss = textdedup.simhash_candidates(
+        df, sig_col="sig", max_hamming=15, n_blocks=16, combo_m=2
+    )
+    assert miss.count() == 0
+    hit = textdedup.simhash_candidates(
+        df, sig_col="sig", max_hamming=15, n_blocks=16, combo_m=1
+    )
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0].hamming == 15
+
+
 def test_lsh_bucket_cap_degenerate_corpus(spark):
     """Adversarial: 500 identical docs put all rows in one bucket per
     band — quadratic (125k pairs) without a cap. With the cap the join
