@@ -94,6 +94,26 @@ def assign_centroid(vec_col: str, cents: list[list[float]]) -> F.Column:
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def assign_centroids_topn(vec_col: str, cents: list[list[float]], n_probe: int) -> F.Column:
+    """Per-row TOP-``n_probe`` centroid ids as an array<int>, ordered
+    nearest-first, ties to the lowest id. sort_array over
+    struct(-dot, cid) sorts by dot DESC then cid ASC — bit-identical
+    tie semantics to the oracle's row_number() ORDER BY dot DESC, cid
+    with rn <= n_probe. Pure array expressions, still codegen'd."""
+    v = _to_double(F.col(vec_col))
+    scored = F.array(
+        *[
+            F.struct(
+                (-dot(v, F.array(*[F.lit(x) for x in c]))).alias("nd"),
+                F.lit(i).cast("int").alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    ranked = F.sort_array(scored)
+    return F.array(*[F.element_at(ranked, i + 1)["cid"] for i in range(n_probe)])
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -208,18 +228,24 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 2,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, IVF-bucket-restricted:
-    every vector is assigned to its nearest seed-derived centroid
-    (``assign_centroid`` — deterministic literals shared with the SQL
-    oracle), candidate pairs are the SAME-CENTROID pairs (an equi-join
-    on cid — n²/k work instead of n², the only shape that survives
-    corpus scale), and candidates are verified with the exact cosine.
+    """Embedding-cosine near-duplicate pairs, IVF-bucket-restricted
+    with MULTI-PROBE assignment: every vector lands in its top
+    ``n_probe`` seed-derived centroid buckets (``assign_centroids_topn``
+    — deterministic literals shared with the SQL oracle), candidate
+    pairs are the SHARED-BUCKET pairs (an equi-join on cid — ~n_probe²·
+    n²/k work instead of n², the only shape that survives corpus
+    scale), candidates are verified with the exact cosine, and pairs
+    sharing two buckets are deduplicated.
 
-    Like ``ivf_topk``, the restriction is part of the CONTRACT, not a
-    hidden recall loss: the oracle applies the identical centroid
+    ``n_probe=2`` (default) closes the single-probe boundary blindness:
+    a true near-dup pair straddling a centroid boundary (top-1
+    assignments differ, top-2 sets overlap) is now in scope. Like
+    ``ivf_topk``, the remaining restriction is part of the CONTRACT,
+    not a hidden recall loss: the oracle applies the identical top-n
     assignment, so both engines compute the same approximate result —
-    a cross-centroid near-dup pair is out of scope for both. Returns
+    a pair sharing NO probed bucket is out of scope for both. Returns
     (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to 6
     decimals AFTER the threshold filter.
     """
@@ -227,7 +253,7 @@ def embedding_near_dup_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         _to_double(F.col(vec_col)).alias("v"),
-        assign_centroid(vec_col, cents).alias("cid"),
+        F.explode(assign_centroids_topn(vec_col, cents, n_probe)).alias("cid"),
     )
     a, b = base.alias("a"), base.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (
@@ -244,4 +270,5 @@ def embedding_near_dup_pairs(
             F.col("b.id").alias("id_b"),
             F.round(cos, 6).alias("cos_sim"),
         )
+        .distinct()
     )

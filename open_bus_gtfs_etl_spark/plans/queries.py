@@ -1104,21 +1104,27 @@ E2_SQL = _build_e2_sql()
 
 
 def d6_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, IVF-bucket-restricted: vectors
-    join only within their nearest seed-derived centroid bucket (the
-    equi-join candidate shape — n²/k, not n²), exact cosine verifies.
-    The centroid literals are shared verbatim with the oracle, so the
-    bucket restriction is part of the checkable contract (e2 style),
-    not a hidden recall loss."""
+    """Embedding-cosine near-dup pairs, IVF-bucket-restricted with
+    MULTI-PROBE (top-2) assignment: vectors land in their two nearest
+    seed-derived centroid buckets, candidate pairs are shared-bucket
+    pairs (equi-join on cid — ~4n²/k, not n²), exact cosine verifies,
+    double-bucket pairs dedup. Top-2 probing closes the single-probe
+    centroid-boundary blindness (a planted boundary-straddling pair is
+    unit-tested in tests/test_training_ops.py). The centroid literals
+    AND the top-2 assignment are shared verbatim with the oracle, so
+    the bucket restriction is part of the checkable contract (e2
+    style), not a hidden recall loss."""
     from ..operators import similarity
 
     em = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(em, threshold=0.465).select(
-        "id_a", "id_b", "cos_sim"
-    )
+    return similarity.embedding_near_dup_pairs(
+        em, threshold=0.465, n_probe=2
+    ).select("id_a", "id_b", "cos_sim")
 
 
-def _build_d6_sql(dim: int = 64, n_centroids: int = 8, thr: float = 0.465) -> str:
+def _build_d6_sql(
+    dim: int = 64, n_centroids: int = 8, thr: float = 0.465, n_probe: int = 2
+) -> str:
     from ..operators.similarity import ivf_centroids
 
     cents = ivf_centroids(dim, n_centroids=n_centroids)
@@ -1148,8 +1154,8 @@ assigned AS (
          ) AS rn
   FROM emb CROSS JOIN cents
 ),
-asg AS (SELECT vec_id, v, cid FROM assigned WHERE rn = 1)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+asg AS (SELECT vec_id, v, cid FROM assigned WHERE rn <= {n_probe})
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
 FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
 WHERE {cos} > {thr}
 """

@@ -152,6 +152,43 @@ def test_simhash_bucket_cap(spark):
 
 # --------------------------------------------------------------- similarity
 
+def test_embedding_near_dup_multi_probe_boundary_pair(spark):
+    """A planted centroid-boundary pair: two blends of centroids c_i
+    and c_j whose top-1 assignments DIFFER (one leans i, the other j)
+    while their top-2 sets overlap and their cosine is ~0.92. Single
+    probe is structurally blind to it; n_probe=2 must find it."""
+    from open_bus_gtfs_etl_spark.operators.similarity import (
+        ivf_centroids,
+        nearest_centroids,
+    )
+
+    dim, k = 64, 8
+    cents = ivf_centroids(dim, n_centroids=k)
+    ci, cj = cents[2], cents[5]
+    v1 = [0.6 * a + 0.4 * b for a, b in zip(ci, cj)]
+    v2 = [0.4 * a + 0.6 * b for a, b in zip(ci, cj)]
+    # preconditions asserted, not assumed: top-1 differs, top-2 overlap
+    t1, t2 = nearest_centroids(v1, cents, 2), nearest_centroids(v2, cents, 2)
+    assert t1[0] != t2[0] and set(t1) & set(t2)
+    import math
+
+    d12 = sum(a * b for a, b in zip(v1, v2))
+    cos = d12 / (
+        math.sqrt(sum(a * a for a in v1)) * math.sqrt(sum(b * b for b in v2))
+    )
+    assert cos > 0.465
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2)], "vec_id long, embedding array<double>"
+    )
+    miss = similarity.embedding_near_dup_pairs(df, threshold=0.465, n_probe=1)
+    assert miss.count() == 0
+    hit = similarity.embedding_near_dup_pairs(df, threshold=0.465, n_probe=2)
+    rows = hit.collect()
+    assert len(rows) == 1
+    assert (rows[0].id_a, rows[0].id_b) == (1, 2)
+    assert abs(rows[0].cos_sim - round(cos, 6)) < 1e-6
+
+
 def test_brute_force_topk_self_nearest(spark):
     em = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = em.where(F.col("vec_id") == 7).select("embedding").collect()[0][0]
