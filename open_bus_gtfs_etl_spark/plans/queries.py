@@ -438,6 +438,30 @@ GROUP BY p.event_id
 """
 
 
+def j9b_asof_window(spark, sf_dir):
+    """The SAME as-of semantics as j9 (checked against the SAME oracle
+    SQL) through the scale-safe window plan: tagged union + running
+    last-click per user — one hash shuffle, NO join node, linear work
+    for arbitrarily hot users (j9's equi-join + range filter fans out
+    purchases × clicks within the tolerance window before its groupBy
+    collapses them — quadratic for a pathological user). Equivalence on
+    skewed inputs is property-tested in tests/test_asof.py."""
+    from ..operators.asof import asof_backward
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    res = asof_backward(
+        p, c, on=["user_id"], tolerance=F.expr("INTERVAL 1 DAY"),
+        out_col="last_click_ts",
+    )
+    # j9's oracle groups by event_id (a duplicated purchase event_id
+    # collapses to one row) — mirror that on the already-reduced frame
+    return res.groupBy("event_id").agg(
+        F.max("last_click_ts").alias("last_click_ts")
+    )
+
+
 # --------------------------------------------------------------------------
 # A — aggregations (SURVEY §2.4, A1-A6)
 # --------------------------------------------------------------------------
@@ -1247,6 +1271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j7_two_hop": j7_two_hop,
     "j8_chain4_threshold": j8_chain4_threshold,
     "j9_asof": j9_asof,
+    "j9b_asof_window": j9b_asof_window,
     "a1_outcome_rollup": a1_outcome_rollup,
     "a5_distinct_counts": a5_distinct_counts,
     "a6_all_over_group": a6_all_over_group,
@@ -1291,6 +1316,7 @@ ORACLES: dict[str, str] = {
     "j7_two_hop": J7_SQL,
     "j8_chain4_threshold": J8_SQL,
     "j9_asof": J9_SQL,
+    "j9b_asof_window": J9_SQL,
     "a1_outcome_rollup": A1_SQL,
     "a5_distinct_counts": A5_SQL,
     "a6_all_over_group": A6_SQL,
