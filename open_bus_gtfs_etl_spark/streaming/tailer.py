@@ -116,11 +116,22 @@ def start_multi_tailer(
     checkpoint, so kill/resume fencing is identical to the
     single-schema tailer.
 
-    ``versions`` defaults to the registry versions whose directory
-    exists at start; a version directory that appears LATER needs a
-    query restart (file sources enumerate their root at plan time) —
-    registry bumps are deploy events, which is when the query restarts
-    anyway.
+    **The version set is part of the checkpoint's identity.** Spark
+    REJECTS recovery when the number of unioned streaming sources
+    changes, so a registry bump (new ``v{N}/`` directory) cannot be
+    absorbed by restarting against the same checkpoint — it needs a
+    FRESH checkpoint directory, and the full re-replay that implies is
+    safe because every batch is LWW-gated and the new checkpoint gets
+    its own fence namespace (``stream_writer_id``). To make that
+    failure mode explicit instead of a cryptic Spark recovery error,
+    the resolved ``versions`` list is pinned to a
+    ``wal_versions.json`` sidecar inside the checkpoint directory at
+    first start, and every later start asserts the current set matches
+    the pinned one (``VersionSetChangedError`` otherwise). ``versions``
+    defaults to the registry versions whose directory exists at start
+    — auto-discovery is resolved ONCE per checkpoint lifetime by this
+    pinning, so a v3 directory appearing later can never silently
+    change the source count on resume.
     """
     from ..registry import REGISTRY, align_batch, schema_for
 
@@ -131,6 +142,7 @@ def start_multi_tailer(
         ]
     if not versions:
         raise ValueError(f"no v*/ schema directories under {wal_dir}")
+    _pin_versions(checkpoint_dir, list(versions))
     stream = None
     for ver in versions:
         reader = (
@@ -148,6 +160,42 @@ def start_multi_tailer(
         stream, table, checkpoint_dir, lineage, salted, available_now,
         max_retries, retry_backoff_sec,
     )
+
+
+class VersionSetChangedError(RuntimeError):
+    """The checkpoint was created with a different schema-version set.
+
+    Spark refuses checkpoint recovery when the unioned streaming
+    source count changes, so resuming would fail anyway — just later
+    and less legibly. Start the tailer with a FRESH checkpoint
+    directory: the full re-replay is idempotent (row-level LWW gating
+    + a per-checkpoint fence namespace)."""
+
+
+def _pin_versions(checkpoint_dir: str, versions: list[int]) -> None:
+    """Pin the resolved version set to the checkpoint (sidecar file) on
+    first start; assert it matches on every later start."""
+    import json
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    pin = os.path.join(checkpoint_dir, "wal_versions.json")
+    if os.path.exists(pin):
+        with open(pin) as f:
+            recorded = json.load(f)
+        if recorded != versions:
+            raise VersionSetChangedError(
+                f"checkpoint {checkpoint_dir} was created for WAL schema "
+                f"versions {recorded}, but this start resolved {versions}. "
+                "A changed version set changes the unioned streaming source "
+                "count, which Spark rejects on checkpoint recovery. Use a "
+                "fresh checkpoint directory (full re-replay is idempotent: "
+                "LWW row gating + per-checkpoint fence namespace)."
+            )
+        return
+    tmp = pin + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(versions, f)
+    os.replace(tmp, pin)
 
 
 def _start(

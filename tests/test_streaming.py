@@ -230,6 +230,41 @@ def test_multi_tailer_mixed_versions_no_backfill(tmp_path, spark):
     assert (lin[lin.partition_id == -1].success).all()
 
 
+def test_multi_tailer_version_set_pinned_to_checkpoint(tmp_path, spark):
+    """The unioned source count is part of the checkpoint's identity
+    (Spark rejects recovery when it changes) — the tailer pins the
+    resolved version set at first start and fails FAST and legibly on
+    a changed set, instead of deep inside Spark's recovery path; a
+    fresh checkpoint absorbs the change (re-replay is idempotent)."""
+    import pytest
+
+    from open_bus_gtfs_etl_spark.streaming.tailer import (
+        VersionSetChangedError,
+        start_multi_tailer,
+    )
+
+    ev = generate_events(
+        spark, 2000, n_conv=40, seed=23, seg_size=1000, v2_start_lsn=1000
+    )
+    wal = str(tmp_path / "wal")
+    write_wal(ev, wal)
+    table = _mk(spark, tmp_path)
+    ck = str(tmp_path / "ckpt")
+    q = start_multi_tailer(spark, table, wal, ck)  # pins [1, 2]
+    run_until_caught_up(q)
+    # same set resumes fine
+    q2 = start_multi_tailer(spark, table, wal, ck)
+    run_until_caught_up(q2)
+    # a different set against the SAME checkpoint raises before Spark
+    with pytest.raises(VersionSetChangedError):
+        start_multi_tailer(spark, table, wal, ck, versions=[2])
+    # a fresh checkpoint absorbs the changed set
+    q3 = start_multi_tailer(
+        spark, table, wal, str(tmp_path / "ckpt2"), versions=[2]
+    )
+    run_until_caught_up(q3)
+
+
 def test_multi_tailer_kill_resume(tmp_path, spark):
     import time
 
