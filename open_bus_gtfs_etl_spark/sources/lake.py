@@ -937,6 +937,91 @@ def iceberg_evolve_sql(identifier: str, fields: list[T.StructField]) -> list[str
     ]
 
 
+def iceberg_wap_sequence(
+    identifier: str,
+    source_view: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    writer: str,
+    batch_id: int,
+) -> list[tuple[str, object]]:
+    """Write-audit-publish MERGE with the fence INSIDE the commit — the
+    single-commit exactly-once story for the Iceberg production path,
+    as explicit as SnapshotParquetTable's atomic manifest swap.
+
+    ``IcebergTable.merge``'s plain flow needs TWO commits (MERGE, then
+    ALTER TABLE fence property), leaving a crash window where data is
+    visible but the fence is not. WAP closes it: with
+    ``write.wap.enabled`` and ``spark.wap.id`` set, the MERGE commits a
+    snapshot that carries ``summary['wap.id']`` but is NOT made current
+    — publication is a separate atomic ``cherrypick_snapshot``. Making
+    ``wap.id = '{writer}:{batch_id}'`` turns the commit summary itself
+    into the fence: data and fence become visible in ONE atomic step.
+
+    Ordered steps (``(name, payload)``; ``*_conf`` payloads are
+    ``(spark conf key, value)``, the rest SQL; ``{snapshot_id}`` is
+    filled from the ``staged_snapshot_sql`` result):
+
+    1. ``enable_wap_sql``   — one-time table property.
+    2. ``fence_check_sql``  — a PUBLISHED snapshot (ancestor of
+       current: ``history.is_current_ancestor``) already carrying this
+       wap id ⇒ the batch is applied; skip as a fenced no-op. The
+       ancestor restriction matters: a crash after stage but before
+       publish leaves an ORPHANED staged snapshot whose wap id must
+       NOT fence the retry (it never became visible).
+    3. ``stage_conf``       — set ``spark.wap.id``; the MERGE below
+       now stages without publishing.
+    4. ``merge_sql``        — exactly ``iceberg_merge_sql`` (soft
+       deletes, lsn gate); identical semantics to the two-commit path.
+    5. ``staged_snapshot_sql`` — newest NON-ancestor snapshot with
+       this wap id (orphans from dead retries are older; harmless,
+       aged out by ``expire_snapshots``).
+    6. ``audit_sql``        — validation gate over the staged-but-
+       invisible data (the reference's plausibility check, A3 —
+       update_gtfs_data_db.py:114-122 — run BEFORE anything is
+       visible, which the two-commit path cannot do).
+    7. ``publish_sql``      — atomic ``cherrypick_snapshot``: data +
+       fence become current together.
+    8. ``unstage_conf``     — clear ``spark.wap.id``.
+
+    Crash analysis: before 7 ⇒ nothing visible, no fence, retry is
+    clean (one orphaned snapshot for GC). After 7 ⇒ everything
+    visible incl. fence; retry stops at step 2. There is no state
+    where data is visible without its fence.
+    """
+    catalog, _, _ = identifier.partition(".")
+    wap_id = f"{writer}:{batch_id}"
+    published = (
+        f"SELECT s.snapshot_id FROM {identifier}.snapshots s\n"
+        f"JOIN {identifier}.history h\n"
+        f"  ON h.snapshot_id = s.snapshot_id AND h.is_current_ancestor\n"
+        f"WHERE s.summary['wap.id'] = '{wap_id}'"
+    )
+    staged = (
+        f"SELECT s.snapshot_id FROM {identifier}.snapshots s\n"
+        f"LEFT JOIN {identifier}.history h\n"
+        f"  ON h.snapshot_id = s.snapshot_id AND h.is_current_ancestor\n"
+        f"WHERE s.summary['wap.id'] = '{wap_id}' AND h.snapshot_id IS NULL\n"
+        f"ORDER BY s.committed_at DESC LIMIT 1"
+    )
+    return [
+        ("enable_wap_sql",
+         f"ALTER TABLE {identifier} SET TBLPROPERTIES ('write.wap.enabled'='true')"),
+        ("fence_check_sql", published),
+        ("stage_conf", ("spark.wap.id", wap_id)),
+        ("merge_sql",
+         iceberg_merge_sql(identifier, source_view, key_cols, value_cols)),
+        ("staged_snapshot_sql", staged),
+        ("audit_sql",
+         f"SELECT count(*) AS n_rows FROM {identifier} "
+         f"VERSION AS OF {{snapshot_id}}"),
+        ("publish_sql",
+         f"CALL {catalog}.system.cherrypick_snapshot("
+         f"table => '{identifier}', snapshot_id => {{snapshot_id}})"),
+        ("unstage_conf", ("spark.wap.id", None)),
+    ]
+
+
 def iceberg_expire_sql(identifier: str, keep_last: int) -> str:
     catalog, _, _ = identifier.partition(".")
     return (
@@ -958,14 +1043,16 @@ class IcebergTable:
     sandbox does not have — constructing without one raises (the SQL
     builders above stay unit-testable offline).
 
-    Exactly-once note: the fence property write here is a separate
-    commit from the MERGE (SQL cannot attach snapshot-summary props to
-    a MERGE commit), so under Iceberg the checkpoint remains the
-    primary exactly-once mechanism and the fence is the re-delivery
-    guard for NEW checkpoints; a production deployment would use
-    write-audit-publish or the commit-properties API for single-commit
-    fencing. SnapshotParquetTable does fence atomically (one manifest
-    swap).
+    Exactly-once note: the fence property write in ``merge`` below is a
+    separate commit from the MERGE (SQL cannot attach snapshot-summary
+    props to a MERGE commit), so on THIS path the checkpoint remains
+    the primary exactly-once mechanism. The single-commit production
+    story is ``iceberg_wap_sequence``: write-audit-publish with
+    ``wap.id = '{writer}:{batch_id}'``, where the commit summary IS
+    the fence and ``cherrypick_snapshot`` publishes data + fence in
+    one atomic step (unit-tested offline in tests/test_iceberg_sql.py;
+    crash-window analysis in its docstring). SnapshotParquetTable
+    fences atomically too (one manifest swap).
     """
 
     def __init__(self, spark: SparkSession, identifier: str,

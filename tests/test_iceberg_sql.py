@@ -76,3 +76,46 @@ def test_evolve_and_expire_sql():
     assert stmts == ["ALTER TABLE cat.db.t ADD COLUMN tool string"]
     sql = iceberg_expire_sql("cat.db.t", keep_last=2)
     assert "cat.system.expire_snapshots" in sql and "retain_last => 2" in sql
+
+
+def test_wap_sequence_single_commit_fencing():
+    """Write-audit-publish: the fence travels INSIDE the commit summary
+    (wap.id = writer:batch_id) and publication is one atomic
+    cherrypick — no state where data is visible without its fence."""
+    from open_bus_gtfs_etl_spark.sources.lake import (
+        iceberg_merge_sql,
+        iceberg_wap_sequence,
+    )
+
+    seq = iceberg_wap_sequence(
+        "cat.db.transcripts", "src", KEYS, VALS, writer="wal", batch_id=42
+    )
+    steps = dict(seq)
+    order = [name for name, _ in seq]
+    # fence check precedes staging precedes merge precedes publish
+    assert order.index("fence_check_sql") < order.index("stage_conf")
+    assert order.index("stage_conf") < order.index("merge_sql")
+    assert order.index("merge_sql") < order.index("staged_snapshot_sql")
+    assert order.index("staged_snapshot_sql") < order.index("publish_sql")
+    # the wap id encodes (writer, batch_id) — the fence identity
+    wap_id = "wal:42"
+    assert steps["stage_conf"] == ("spark.wap.id", wap_id)
+    assert steps["unstage_conf"] == ("spark.wap.id", None)
+    # fence check counts only PUBLISHED snapshots (current ancestors):
+    # an orphaned staged snapshot from a dead retry must not fence
+    assert "is_current_ancestor" in steps["fence_check_sql"]
+    assert f"summary['wap.id'] = '{wap_id}'" in steps["fence_check_sql"]
+    # the staged lookup excludes ancestors and takes the newest
+    assert "h.snapshot_id IS NULL" in steps["staged_snapshot_sql"]
+    assert "ORDER BY s.committed_at DESC LIMIT 1" in steps["staged_snapshot_sql"]
+    # the merge itself is EXACTLY the audited two-commit-path statement
+    assert steps["merge_sql"] == iceberg_merge_sql(
+        "cat.db.transcripts", "src", KEYS, VALS
+    )
+    # the audit gate runs over the staged-but-invisible snapshot
+    assert "VERSION AS OF {snapshot_id}" in steps["audit_sql"]
+    # publication is one atomic cherrypick on the right catalog
+    assert steps["publish_sql"].startswith("CALL cat.system.cherrypick_snapshot(")
+    assert "snapshot_id => {snapshot_id}" in steps["publish_sql"]
+    # WAP must be enabled on the table for staging to hold commits back
+    assert "write.wap.enabled" in steps["enable_wap_sql"]
