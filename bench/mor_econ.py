@@ -30,6 +30,7 @@ def main() -> None:
     n_segments = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
+    from bench import _probe  # bench.py (module beats the bench/ namespace pkg)
     from open_bus_gtfs_etl_spark.genlog import generate_events, read_wal_segment, write_wal
     from open_bus_gtfs_etl_spark.operators.merge import apply_batch
     from open_bus_gtfs_etl_spark.schema import TRANSCRIPTS_SCHEMA
@@ -38,6 +39,7 @@ def main() -> None:
 
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="mor_econ_", dir=scratch)
+    probe_start = _probe()
     spark = get_spark(
         app_name="mor_econ", master=f"local[{cores}]",
         shuffle_partitions=max(32, cores),
@@ -103,6 +105,11 @@ def main() -> None:
         mean_apply = sum(apply_secs) / len(apply_secs)
         print(json.dumps({
             "cores": cores,
+            # host-contention probe scores (raw; same probe as
+            # bench.py): start vs end makes a contended-window sample
+            # diagnosable instead of silently folded into the means
+            "probe_start": round(probe_start, 1),
+            "probe_end": round(_probe(), 1),
             "n_events": n_events,
             "n_segments": n_segments,
             "n_buckets": n_buckets,
