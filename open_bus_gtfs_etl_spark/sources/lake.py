@@ -1091,6 +1091,61 @@ class IcebergTable:
             )
         return {"skipped_fenced": False}
 
+    def merge_wap(
+        self,
+        winners,
+        batch_id: int,
+        writer: str = "default",
+        min_plausible_rows: int | None = None,
+    ) -> dict:
+        """Single-commit merge via ``iceberg_wap_sequence`` — data and
+        fence publish in one atomic cherrypick (see the sequence's
+        docstring for the crash-window analysis). ``min_plausible_rows``
+        is the audit gate run over the STAGED, still-invisible snapshot
+        (reference A3 plausibility check, update_gtfs_data_db.py:114-122)
+        — an audit failure leaves the table untouched and the batch
+        unfenced, so the retry path is identical to a crash-before-
+        publish. Executor logic (ordering, fenced skip, audit refusal)
+        is offline-tested with a recording mock in
+        tests/test_iceberg_sql.py; the SQL itself in the same file."""
+        seq = dict(iceberg_wap_sequence(
+            self.identifier, "_merge_source", self.key_cols,
+            self.value_cols, writer, batch_id,
+        ))
+        spark = self.spark
+        spark.sql(seq["enable_wap_sql"])
+        if spark.sql(seq["fence_check_sql"]).count() > 0:
+            return {"skipped_fenced": True}
+        winners.createOrReplaceTempView("_merge_source")
+        conf_key, wap_id = seq["stage_conf"]
+        spark.conf.set(conf_key, wap_id)
+        try:
+            spark.sql(seq["merge_sql"])
+            staged = spark.sql(seq["staged_snapshot_sql"]).collect()
+            if not staged:
+                raise RuntimeError(
+                    "WAP merge committed no staged snapshot "
+                    "(write.wap.enabled not effective?)"
+                )
+            sid = staged[0]["snapshot_id"]
+            n = spark.sql(
+                seq["audit_sql"].format(snapshot_id=sid)
+            ).collect()[0]["n_rows"]
+            if min_plausible_rows is not None and n < min_plausible_rows:
+                # nothing published, nothing fenced; orphaned staged
+                # snapshot ages out with expire_snapshots
+                return {
+                    "skipped_fenced": False, "audit_failed": True,
+                    "staged_snapshot_id": sid, "n_rows": n,
+                }
+            spark.sql(seq["publish_sql"].format(snapshot_id=sid))
+            return {
+                "skipped_fenced": False, "published_snapshot_id": sid,
+                "n_rows": n,
+            }
+        finally:
+            spark.conf.unset(conf_key)
+
     def read(self):
         """User view: live rows only (tombstones filtered), user cols."""
         return self.spark.sql(

@@ -119,3 +119,111 @@ def test_wap_sequence_single_commit_fencing():
     assert "snapshot_id => {snapshot_id}" in steps["publish_sql"]
     # WAP must be enabled on the table for staging to hold commits back
     assert "write.wap.enabled" in steps["enable_wap_sql"]
+
+
+# --- merge_wap executor (offline, recording mock session) -----------------
+
+class _FakeDF:
+    def __init__(self, rows):
+        self.rows = rows
+
+    def count(self):
+        return len(self.rows)
+
+    def collect(self):
+        return self.rows
+
+
+class _FakeConf:
+    def __init__(self):
+        self._d = {"spark.jars.packages": "org.apache.iceberg:iceberg-spark-runtime",
+                   "spark.jars": ""}
+
+    def get(self, k, default=None):
+        return self._d.get(k, default)
+
+    def set(self, k, v):
+        self._d[k] = v
+
+    def unset(self, k):
+        self._d.pop(k, None)
+
+
+class _FakeSpark:
+    def __init__(self, fenced=False, n_rows=123):
+        self.conf = _FakeConf()
+        self.log = []
+        self.fenced = fenced
+        self.n_rows = n_rows
+
+    def sql(self, q):
+        self.log.append(q)
+        if "h.snapshot_id IS NULL" in q:          # staged-snapshot lookup
+            assert self.conf.get("spark.wap.id"), "staged lookup outside WAP scope"
+            return _FakeDF([{"snapshot_id": 777}])
+        if "is_current_ancestor" in q:            # fence check
+            return _FakeDF([{"snapshot_id": 1}] if self.fenced else [])
+        if "VERSION AS OF" in q:                  # audit
+            return _FakeDF([{"n_rows": self.n_rows}])
+        if q.startswith("MERGE INTO"):
+            assert self.conf.get("spark.wap.id") == "wal:7", "MERGE ran unstaged"
+        return _FakeDF([])
+
+
+class _FakeWinners:
+    def __init__(self):
+        self.view = None
+
+    def createOrReplaceTempView(self, name):
+        self.view = name
+
+
+def _mk_table(spark):
+    from open_bus_gtfs_etl_spark.sources.lake import IcebergTable
+
+    return IcebergTable(spark, "cat.db.transcripts", KEYS, VALS)
+
+
+def test_merge_wap_happy_path_order_and_single_commit():
+    sp = _FakeSpark()
+    st = _mk_table(sp).merge_wap(_FakeWinners(), batch_id=7, writer="wal")
+    assert st == {"skipped_fenced": False, "published_snapshot_id": 777,
+                  "n_rows": 123}
+    kinds = []
+    for q in sp.log:
+        if "write.wap.enabled" in q:
+            kinds.append("enable")
+        elif "is_current_ancestor" in q and "h.snapshot_id IS NULL" not in q:
+            kinds.append("fence")
+        elif q.startswith("MERGE INTO"):
+            kinds.append("merge")
+        elif "h.snapshot_id IS NULL" in q:
+            kinds.append("staged")
+        elif "VERSION AS OF" in q:
+            kinds.append("audit")
+        elif "cherrypick_snapshot" in q:
+            kinds.append("publish")
+    assert kinds == ["enable", "fence", "merge", "staged", "audit", "publish"]
+    # the publish carries the staged snapshot id and is the ONLY commit
+    # that changes table state after the staged (invisible) merge
+    assert "snapshot_id => 777" in sp.log[-1]
+    # wap scope closed even on success
+    assert sp.conf.get("spark.wap.id") is None
+
+
+def test_merge_wap_fenced_skip_runs_nothing():
+    sp = _FakeSpark(fenced=True)
+    st = _mk_table(sp).merge_wap(_FakeWinners(), batch_id=7, writer="wal")
+    assert st == {"skipped_fenced": True}
+    assert not any(q.startswith("MERGE INTO") for q in sp.log)
+    assert not any("cherrypick" in q for q in sp.log)
+
+
+def test_merge_wap_audit_refusal_publishes_nothing():
+    sp = _FakeSpark(n_rows=3)
+    st = _mk_table(sp).merge_wap(
+        _FakeWinners(), batch_id=7, writer="wal", min_plausible_rows=1000
+    )
+    assert st["audit_failed"] and st["staged_snapshot_id"] == 777
+    assert not any("cherrypick" in q for q in sp.log)
+    assert sp.conf.get("spark.wap.id") is None
