@@ -93,15 +93,21 @@ def _probe() -> float:
     return (cpu_s * io_s) ** 0.5
 
 
-def _wait_for_quiet(best: float, deadline: float) -> float:
+def _wait_for_quiet(best: float, deadline: float) -> tuple[float, float]:
     """Defer launching a timed sample while the probe says the host is
-    heavily contended (score < 60% of the session's best). Bounded by
-    ``deadline``; returns the probe score at launch time."""
+    heavily contended (score < 60% of the current baseline). Bounded by
+    ``deadline``. The baseline DECAYS ~4%/wait while deferring: the
+    host's quiet plateau drifts (neighbor steady load, turbo state),
+    and a fixed threshold anchored to one early fast window can starve
+    the launch loop for the whole budget — decay converges to the new
+    plateau in ~10 minutes instead. Returns (probe score at launch,
+    updated baseline)."""
     score = _probe()
     while score < 0.6 * best and time.time() < deadline:
         time.sleep(45)
+        best *= 0.96
         score = _probe()
-    return score
+    return score, max(best, score)
 
 
 # a paired ratio meaningfully above 1.0 is not "super-scaling" — it
@@ -207,14 +213,28 @@ def main() -> None:
         q_probe_raw_after = _probe()
         best_probe = max(best_probe, q_probe_raw_after)
 
-        from open_bus_gtfs_etl_spark.genlog import generate_events, write_wal
+        # BENCH_WAL_DIR: reuse a pre-generated WAL (local iteration —
+        # the 32M generate+write costs ~20 min of the budget; the
+        # driver's default run generates fresh)
+        wal_env = os.environ.get("BENCH_WAL_DIR")
+        if wal_env and os.path.isdir(os.path.join(wal_env, "v2")):
+            wal_dir = wal_env
+            segs = sorted({
+                int(d.split("seg=")[1])
+                for ver in ("v1", "v2")
+                if os.path.isdir(os.path.join(wal_dir, ver))
+                for d in os.listdir(os.path.join(wal_dir, ver))
+                if d.startswith("seg=")
+            })
+        else:
+            from open_bus_gtfs_etl_spark.genlog import generate_events, write_wal
 
-        events = generate_events(
-            spark, n_events, n_conv=max(64, n_events // 20), seed=42,
-            dup_rate=0.02, ooo_rate=0.02, seg_size=n_events,
-        )
-        wal_dir = os.path.join(work, "wal")
-        segs = write_wal(events, wal_dir)
+            events = generate_events(
+                spark, n_events, n_conv=max(64, n_events // 20), seed=42,
+                dup_rate=0.02, ooo_rate=0.02, seg_size=n_events,
+            )
+            wal_dir = os.path.join(work, "wal")
+            segs = write_wal(events, wal_dir)
         spark.stop()
 
         # interleaved fresh-JVM runs: high, low, high, low, ... — the
@@ -237,6 +257,13 @@ def main() -> None:
         t_scaling = time.time()
         soft_deadline = t_scaling + max(300.0, budget - mor_reserve)
         hard_deadline = t_scaling + 1.8 * budget
+        # raw probe history for end-of-run normalization; the GATING
+        # baseline is re-established here (the queries/gen phases are
+        # 20+ minutes old — a stale fast-window baseline would starve
+        # the launch gate, see _wait_for_quiet)
+        probe_raws = [q_probe_raw, q_probe_raw_after]
+        best_probe = max(_probe(), _probe())
+        probe_raws.append(best_probe)
         samples: dict[int, list[dict]] = {low: [], high: []}
         max_rounds = int(os.environ.get("BENCH_SCALE_MAX_ROUNDS", str(max(rounds, 12))))
         r = 0
@@ -260,8 +287,8 @@ def main() -> None:
                 # timed launch (bounded by the budget) while the probe
                 # says the window is bad, and record the probe score so
                 # every sample carries its own host-state context
-                score = _wait_for_quiet(best_probe, soft_deadline)
-                best_probe = max(best_probe, score)
+                score, best_probe = _wait_for_quiet(best_probe, soft_deadline)
+                probe_raws.append(score)
                 lake = os.path.join(work, f"lake_{cores}_{len(samples[cores])}")
                 s = _replay_subprocess(cores, wal_dir, n_events, lake, n_buckets,
                                        table_mode)
@@ -295,8 +322,10 @@ def main() -> None:
         headline_cores = int(os.environ.get("BENCH_HEADLINE_CORES", "8"))
         headline = None
         if headline_cores not in (low, high):
-            h_score = _wait_for_quiet(best_probe, time.time() + mor_reserve / 3)
-            best_probe = max(best_probe, h_score)
+            h_score, best_probe = _wait_for_quiet(
+                best_probe, time.time() + mor_reserve / 3
+            )
+            probe_raws.append(h_score)
             h_lake = os.path.join(work, "lake_headline")
             headline = _replay_subprocess(
                 headline_cores, wal_dir, n_events, h_lake, n_buckets, table_mode
@@ -309,8 +338,10 @@ def main() -> None:
         # scaling samples (the r3 record's un-gated MoR sample landed
         # in a contended window and read 6x under its same-round
         # mor_econ measurement, undiagnosably)
-        mor_score = _wait_for_quiet(best_probe, time.time() + mor_reserve / 2)
-        best_probe = max(best_probe, mor_score)
+        mor_score, best_probe = _wait_for_quiet(
+            best_probe, time.time() + mor_reserve / 2
+        )
+        probe_raws.append(mor_score)
         mor_lake = os.path.join(work, "lake_mor")
         mor = _replay_subprocess(high, wal_dir, n_events, mor_lake, n_buckets, "mor")
         shutil.rmtree(mor_lake, ignore_errors=True)
@@ -323,8 +354,10 @@ def main() -> None:
         # pairs exist the median is taken over them but flagged
         eff = _median(good_effs if good_effs else pair_effs)
         eff_best = max(pair_effs, default=None)
+        session_best_probe = max(probe_raws)
+
         def _norm(raw):
-            return round(raw / best_probe, 3) if raw is not None else None
+            return round(raw / session_best_probe, 3) if raw is not None else None
 
         headline_eps = (headline or {}).get("events_per_sec") or 0.0
         out = {
