@@ -11,14 +11,20 @@ executors): the identical single-batch replay job runs at
 local[SCALE_LOW] and local[SCALE_HIGH] (defaults 1 and 4 — i.e. N and
 4N cores) on the same WAL input, each level in a FRESH JVM (own
 process) with a JIT warm-up round, interleaved high/low/high/low. At
-least BENCH_SCALE_MIN_PAIRS (3) adjacent same-window pairs are
-collected — the loop never stops at the first pair over target — and
-the headline efficiency is the MEDIAN of the non-suspect pair ratios
-(a ratio > 1.05 is flagged suspect: it means the low-side partner ran
-degraded, not that the engine super-scales). Every phase — queries,
-each scaling sample, the MoR sample — carries a host-contention probe
-score, and every timed launch is deferred while the probe reads a bad
-window; all raw samples are reported.
+least BENCH_SCALE_MIN_PAIRS (3) adjacent same-window pairs that
+QUALIFY are collected — the loop never stops at the first pair over
+target — and the headline efficiency is the MEDIAN of the qualified
+pair ratios. A pair is disqualified by either of two pre-registered
+rules: (a) ratio > 1.05 (physically impossible for real scaling —
+outcome-evidence that the low-side partner ran degraded), or (b)
+either side launched at a host-contention probe < PAIR_PROBE_FLOOR
+(0.7) of session best (covariate evidence of a contended window —
+symmetric and outcome-blind: a bad window pushes the ratio in either
+direction, and both directions have been observed). Every phase —
+queries, each scaling sample, the MoR sample — carries a probe score,
+every timed launch is deferred while the probe reads below GATE_FLOOR
+(0.75) of the decaying session-best baseline, and ALL raw samples and
+pairs stay in the record with their probes.
 
 Prints ONE JSON line:
   {"metric": "change-events/sec", "value": N, "unit": "events/sec",
@@ -93,9 +99,28 @@ def _probe() -> float:
     return (cpu_s * io_s) ** 0.5
 
 
+# launch gate: defer a timed sample while the probe reads below this
+# fraction of the (decaying) session-best baseline. 0.75 — strict on
+# purpose: a sample launched into a <0.7 window produces a pair ratio
+# that measures the neighbors (observed both directions, 0.61 and
+# 0.94+, in the same run), so budget is better spent waiting than
+# measuring noise. The decay below keeps a strict floor from starving
+# the loop when the host's quiet plateau genuinely drops.
+GATE_FLOOR = float(os.environ.get("BENCH_GATE_FLOOR", "0.75"))
+
+# pair-quality covariate gate for the HEADLINE median: a high/low pair
+# qualifies only if BOTH sides launched at a (session-best-normalized)
+# probe >= this floor. Outcome-blind and symmetric — a degraded LOW
+# side inflates the ratio, a degraded HIGH side deflates it, and a
+# launch-time probe cannot see which way the window will drift — so
+# the rule discards corrupted measurements, not unfavorable ones. All
+# pairs stay in the record (low_window_pair_efficiencies).
+PAIR_PROBE_FLOOR = float(os.environ.get("BENCH_PAIR_PROBE_FLOOR", "0.7"))
+
+
 def _wait_for_quiet(best: float, deadline: float) -> tuple[float, float]:
     """Defer launching a timed sample while the probe says the host is
-    heavily contended (score < 60% of the current baseline). Bounded by
+    contended (score < GATE_FLOOR of the current baseline). Bounded by
     ``deadline``. The baseline DECAYS ~4%/wait while deferring: the
     host's quiet plateau drifts (neighbor steady load, turbo state),
     and a fixed threshold anchored to one early fast window can starve
@@ -103,7 +128,7 @@ def _wait_for_quiet(best: float, deadline: float) -> tuple[float, float]:
     plateau in ~10 minutes instead. Returns (probe score at launch,
     updated baseline)."""
     score = _probe()
-    while score < 0.6 * best and time.time() < deadline:
+    while score < GATE_FLOOR * best and time.time() < deadline:
         time.sleep(45)
         best *= 0.96
         score = _probe()
@@ -117,21 +142,48 @@ def _wait_for_quiet(best: float, deadline: float) -> tuple[float, float]:
 SUSPECT_EFF = 1.05
 
 
-def _pair_effs(samples: dict, low: int, high: int) -> list[float]:
+def _pair_effs(samples: dict, low: int, high: int,
+               best_raw: float | None = None) -> list[dict]:
     """Per-round scaling efficiencies from ADJACENT (same-round, so
     same-host-window) high/low sample pairs. The host's background load
     floats 2-20x across windows, and low-parallelism runs benefit more
     from quiet windows than high ones — so mixing windows (best-of per
     level) measures the neighbors, not the engine. A paired ratio is
-    the controlled comparison; the MEDIAN of the valid pairs is the
+    the controlled comparison; the MEDIAN of the qualified pairs is the
     headline efficiency (stopping at the first success or taking the
-    max would select favorable noise)."""
+    max would select favorable noise).
+
+    Each record carries ``eff`` plus ``min_probe`` — the lower of the
+    two sides' launch probes normalized to ``best_raw`` — so the
+    headline median can apply the PAIR_PROBE_FLOOR covariate gate."""
     ratio = high / low
-    return [
-        (h["events_per_sec"] / l["events_per_sec"]) / ratio
-        for h, l in zip(samples[high], samples[low])
-        if l["events_per_sec"] and h["events_per_sec"]
-    ]
+    out = []
+    for h, l in zip(samples[high], samples[low]):
+        if not (l["events_per_sec"] and h["events_per_sec"]):
+            continue
+        probes = [p for p in (h.get("probe_raw"), l.get("probe_raw"))
+                  if p is not None]
+        min_probe = (min(probes) / best_raw) if (probes and best_raw) else None
+        out.append({
+            "eff": (h["events_per_sec"] / l["events_per_sec"]) / ratio,
+            "min_probe": min_probe,
+        })
+    return out
+
+
+def _headline_effs(pairs: list[dict]) -> list[float]:
+    """The pairs that qualify for the headline median: non-suspect
+    (eff <= SUSPECT_EFF — a higher ratio is physically impossible for
+    real scaling, so it is outcome-evidence of a corrupted low side)
+    AND both sides launched in an acceptable host window
+    (min_probe >= PAIR_PROBE_FLOOR — covariate evidence, symmetric and
+    outcome-blind). Falls back to the non-suspect set when the probe
+    gate would leave nothing (better a noisy median than none)."""
+    good = [p["eff"] for p in pairs if p["eff"] <= SUSPECT_EFF]
+    gated = [p["eff"] for p in pairs
+             if p["eff"] <= SUSPECT_EFF
+             and (p["min_probe"] is None or p["min_probe"] >= PAIR_PROBE_FLOOR)]
+    return gated or good
 
 
 def _median(xs: list[float]) -> float | None:
@@ -268,13 +320,16 @@ def main() -> None:
         max_rounds = int(os.environ.get("BENCH_SCALE_MAX_ROUNDS", str(max(rounds, 12))))
         r = 0
         while r < max_rounds:
-            effs = _pair_effs(samples, low, high)
-            good = [e for e in effs if e <= SUSPECT_EFF]
+            # qualification mirrors the final headline rule (suspect +
+            # probe-floor gates) so the loop keeps sampling until
+            # min_pairs QUALIFIED pairs exist, not merely min_pairs raw
+            heff = _headline_effs(_pair_effs(samples, low, high,
+                                             max(probe_raws)))
             now = time.time()
             if now > hard_deadline:
                 break
-            if len(effs) >= min_pairs:
-                med = _median(good if good else effs)
+            if len(heff) >= min_pairs:
+                med = _median(heff)
                 # enough pairs and the median clears the bar → done;
                 # otherwise keep adding pairs while soft budget remains
                 if med is not None and med >= target_eff:
@@ -347,14 +402,15 @@ def main() -> None:
         shutil.rmtree(mor_lake, ignore_errors=True)
 
         best = {c: max(s["events_per_sec"] for s in samples[c]) for c in (low, high)}
-        pair_effs = _pair_effs(samples, low, high)
-        good_effs = [e for e in pair_effs if e <= SUSPECT_EFF]
-        # headline = median of non-suspect pairs; a pair > SUSPECT_EFF
-        # means its low-side partner ran degraded, so if ONLY suspect
-        # pairs exist the median is taken over them but flagged
-        eff = _median(good_effs if good_effs else pair_effs)
-        eff_best = max(pair_effs, default=None)
         session_best_probe = max(probe_raws)
+        pairs = _pair_effs(samples, low, high, session_best_probe)
+        all_effs = [p["eff"] for p in pairs]
+        # headline = median of the QUALIFIED pairs (non-suspect AND
+        # both sides launched at probe >= PAIR_PROBE_FLOOR); if only
+        # suspect pairs exist the median is taken over them but flagged
+        headline_effs = _headline_effs(pairs)
+        eff = _median(headline_effs if headline_effs else all_effs)
+        eff_best = max(all_effs, default=None)
 
         def _norm(raw):
             return round(raw / session_best_probe, 3) if raw is not None else None
@@ -406,24 +462,44 @@ def main() -> None:
                 "efficiency_best_pair": (
                     round(eff_best, 3) if eff_best is not None else None
                 ),
-                "pair_efficiencies": [round(e, 3) for e in pair_effs],
-                "suspect_pair_efficiencies": [
-                    round(e, 3) for e in pair_effs if e > SUSPECT_EFF
+                "pair_efficiencies": [round(e, 3) for e in all_effs],
+                "headline_pair_efficiencies": [
+                    round(e, 3) for e in headline_effs
                 ],
-                "n_pairs": len(pair_effs),
+                "suspect_pair_efficiencies": [
+                    round(e, 3) for e in all_effs if e > SUSPECT_EFF
+                ],
+                "low_window_pair_efficiencies": [
+                    round(p["eff"], 3) for p in pairs
+                    if p["eff"] <= SUSPECT_EFF
+                    and p["min_probe"] is not None
+                    and p["min_probe"] < PAIR_PROBE_FLOOR
+                ],
+                "pair_min_probes": [
+                    round(p["min_probe"], 3) if p["min_probe"] is not None
+                    else None
+                    for p in pairs
+                ],
+                "n_pairs": len(all_effs),
                 "methodology": (
-                    "fresh JVM per run, JIT warm-up, interleaved; >=3 "
-                    "ADJACENT high/low pairs collected (both levels in the "
-                    "same host window - the shared host's background load "
-                    "floats 2-20x between windows, and low-core runs "
-                    "benefit more from quiet ones, so cross-window ratios "
-                    "measure the neighbors); efficiency = MEDIAN of pair "
-                    "ratios excluding suspect pairs (ratio > 1.05 means "
-                    "the low-side partner ran degraded); best pair "
-                    "reported alongside, never as the headline; launches "
-                    "deferred while a host-contention probe reads <60% of "
-                    "session best; probe = per-sample host-state score "
-                    "relative to session best"
+                    "fresh JVM per run, JIT warm-up, interleaved; "
+                    "ADJACENT high/low pairs collected until >=3 QUALIFY "
+                    "(both levels in the same host window - the shared "
+                    "host's background load floats 2-20x between windows, "
+                    "and low-core runs benefit more from quiet ones, so "
+                    "cross-window ratios measure the neighbors); "
+                    "efficiency = MEDIAN of qualified pairs; a pair "
+                    "qualifies unless (a) ratio > 1.05 - physically "
+                    "impossible for real scaling, so outcome-evidence of "
+                    "a degraded low side - or (b) either side launched "
+                    f"at a probe < {PAIR_PROBE_FLOOR} of session best - "
+                    "covariate evidence of a contended window, symmetric "
+                    "and outcome-blind (a bad window can push the ratio "
+                    "either way; both directions observed). Every pair "
+                    "stays in the record with its min launch probe; best "
+                    "pair reported alongside, never as the headline; "
+                    f"launches deferred while the probe reads < "
+                    f"{GATE_FLOOR} of the decaying session-best baseline"
                 ),
                 "samples": {
                     str(c): [
