@@ -1222,6 +1222,117 @@ FROM documents
 """
 
 
+def t5_repetition_ratio(spark, sf_dir):
+    """Duplicate-bigram fraction per document — the within-document
+    repetition signal Gopher-style quality filters use (a high
+    duplicate-n-gram share marks boilerplate/spam). Pure array
+    expressions: bigrams via slice+zip_with (no array indexing, so
+    ANSI-safe for 1-token docs where ``slice(toks, 1, 0)`` is empty),
+    dup fraction = 1 - distinct/total. Reference parity: the quality
+    gates of the reference are exact set-membership checks
+    (load_stops_to_db.py:73-81); this is the scale analogue over text.
+    100-TB shape: per-row computation only — no shuffle, no join;
+    whole-stage-codegen'd."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bi = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    nb = F.size(bi).cast("long")
+    nu = F.size(F.array_distinct(bi)).cast("long")
+    return d.select(
+        "doc_id",
+        nb.alias("n_bigrams"),
+        nu.alias("n_uniq_bigrams"),
+        F.when(nb > 0, F.round(F.lit(1.0) - nu.cast("double") / nb.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+T5_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+         ) AS bi
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(bi) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bi)) AS BIGINT) AS n_uniq_bigrams,
+       CASE WHEN len(bi) > 0
+            THEN round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)
+                             / CAST(len(bi) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM b
+"""
+
+
+def t6_token_dominance(spark, sf_dir):
+    """Top-token dominance per document (most frequent token's share of
+    all tokens) — the single-token-dominance quality signal; high
+    dominance marks degenerate/repetitive text. Relational formulation
+    on purpose: explode → partial-agg count → top-1 window, the shape
+    that scales to 100 TB (the count groupBy is map-side combined on
+    (doc_id, tok); the window partitions by doc_id only after the
+    counts collapsed to ~vocab-size rows per doc). Ties break to the
+    lexicographically smallest token so the result is deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.explode(toks).alias("tok"),
+    )
+    cnt = base.groupBy("doc_id", "n_tokens", "tok").agg(
+        F.count(F.lit(1)).alias("top_count")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("top_count").desc(), F.col("tok").asc()
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_token"),
+            "top_count",
+            "n_tokens",
+            F.round(
+                F.col("top_count").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dominance"),
+        )
+    )
+
+
+T6_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, n_tokens, tok, count(*) AS top_count
+  FROM toks GROUP BY doc_id, n_tokens, tok
+),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY top_count DESC, tok ASC) AS rn
+  FROM cnt
+)
+SELECT doc_id, tok AS top_token, top_count, n_tokens,
+       round(CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dominance
+FROM r WHERE rn = 1
+"""
+
+
 def x1_multimodal_features(spark, sf_dir):
     """Binary-column decode/featurize plumbing via Arrow mapInPandas.
     The decode is a deterministic stand-in (no codec libs in this
@@ -1293,6 +1404,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d5_dedup_survivors": d5_dedup_survivors,
     "d6_embedding_near_dups": d6_embedding_near_dups,
     "t4_token_count": t4_token_count,
+    "t5_repetition_ratio": t5_repetition_ratio,
+    "t6_token_dominance": t6_token_dominance,
     "e2_ivf_ann_topk": e2_ivf_ann_topk,
     "x1_multimodal_features": x1_multimodal_features,
 }
@@ -1338,6 +1451,8 @@ ORACLES: dict[str, str] = {
     "d5_dedup_survivors": D5_SQL,
     "d6_embedding_near_dups": D6_SQL,
     "t4_token_count": T4_SQL,
+    "t5_repetition_ratio": T5_SQL,
+    "t6_token_dominance": T6_SQL,
     "e2_ivf_ann_topk": E2_SQL,
     "x1_multimodal_features": X1_SQL,
 }
