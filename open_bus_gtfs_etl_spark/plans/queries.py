@@ -755,6 +755,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def s2_session_window(spark, sf_dir):
+    """Gap-session aggregation with the built-in ``F.session_window``
+    (1-hour gap) in batch mode — the same operator the streaming
+    sessionizer uses (`streaming/sessions.py:sessionize`), here
+    driver-checkable against a lag+cumsum gap-session SQL oracle.
+    ``session_end`` is last event + gap (the built-in's convention).
+    100-TB shape: one shuffle on user_id; session merge is JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+S2_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) > 3600
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 # D/T/E — training-data pipeline operators (dedup, text, embeddings)
 # --------------------------------------------------------------------------
@@ -1393,6 +1439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w5_running_sum": w5_running_sum,
     "m1_cdc_final_state": m1_cdc_final_state,
     "s1_tumbling_window": s1_tumbling_window,
+    "s2_session_window": s2_session_window,
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "t1_quality_score": t1_quality_score,
@@ -1440,6 +1487,7 @@ ORACLES: dict[str, str] = {
     "w5_running_sum": W5_SQL,
     "m1_cdc_final_state": M1_SQL,
     "s1_tumbling_window": S1_SQL,
+    "s2_session_window": S2_SQL,
     "d1_exact_dedup": D1_SQL,
     "d2_ngram_jaccard": D2_SQL,
     "t1_quality_score": T1_SQL,
