@@ -1405,6 +1405,109 @@ FROM documents
 """
 
 
+def c1_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    held-out benchmark; every other doc is scored by how many of its
+    distinct 5-gram shingles appear anywhere in the benchmark set and
+    flagged at >=20% overlap (the GPT-3-style n-gram decontamination
+    gate). The benchmark shingle set is broadcast — at 100 TB the
+    eval side stays bounded while training data grows, so this is the
+    structurally correct join. Corpus guarantee used: driver docs have
+    >=10 tokens, so every 5-gram shingle is full-width and the Spark
+    concat_ws / DuckDB || forms agree (no null-component divergence).
+    Reference parity: exact set-membership gate of
+    load_stops_to_db.py:73-81 lifted to n-gram granularity."""
+    from ..operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d, F.col("doc_id") % 97 == 0, shingle_k=5, flag_frac=0.2
+    )
+
+
+C1_SQL = """
+WITH sh AS (
+  SELECT doc_id, doc_id % 97 = 0 AS is_bench,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2] || ' '
+                || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4]
+         )) AS sh
+  FROM documents
+),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE is_bench),
+train AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, sh
+          FROM sh WHERE NOT is_bench),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(sh) AS s FROM train) t
+  JOIN bench USING (s)
+  GROUP BY t.doc_id
+)
+SELECT tr.doc_id, tr.n_shingles,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
+             / CAST(tr.n_shingles AS DOUBLE), 6) AS contamination_frac,
+       CAST(CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
+            / CAST(tr.n_shingles AS DOUBLE) >= 0.2 AS INT) AS contaminated
+FROM train tr LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def v1_bpe_pair_mining(spark, sf_dir):
+    """Top-50 corpus-wide adjacent-token pairs — the first
+    merge-candidate table a BPE tokenizer trainer computes. Bigrams
+    keep duplicates (frequency mining, not dedup shingling); ties
+    break lexicographically so the top-k is a total order. 100-TB
+    shape: map-side-combined groupBy + TakeOrdered, no global sort."""
+    from ..operators.curation import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, top_k=50)
+
+
+V1_SQL = """
+WITH b AS (
+  SELECT list_transform(
+           generate_series(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+         ) AS bi
+  FROM documents
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+FROM (SELECT unnest(bi) AS pair FROM b)
+GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT 50
+"""
+
+
+def t8_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling: keep 50% of 'en' docs and
+    80% of every other language, selected by an LCG hash of doc_id
+    shared verbatim with the oracle — reproducible across engines and
+    re-runs, which random() sampling is not (the property a resumable
+    curation pipeline needs). Pure per-row filter: no shuffle, and the
+    bucket expression stays inside whole-stage codegen."""
+    from ..operators.curation import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(d, {"en": 50}, default_rate=80).select(
+        "doc_id", "lang", "sample_bucket"
+    )
+
+
+T8_SQL = """
+SELECT doc_id, lang,
+       CAST((doc_id * 1103515245 + 12345) % 2147483648 % 100 AS BIGINT)
+         AS sample_bucket
+FROM documents
+WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 100
+      < CASE WHEN lang = 'en' THEN 50 ELSE 80 END
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1455,6 +1558,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_token_dominance": t6_token_dominance,
     "e2_ivf_ann_topk": e2_ivf_ann_topk,
     "x1_multimodal_features": x1_multimodal_features,
+    "c1_decontamination": c1_decontamination,
+    "v1_bpe_pair_mining": v1_bpe_pair_mining,
+    "t8_stratified_sample": t8_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1503,4 +1609,7 @@ ORACLES: dict[str, str] = {
     "t6_token_dominance": T6_SQL,
     "e2_ivf_ann_topk": E2_SQL,
     "x1_multimodal_features": X1_SQL,
+    "c1_decontamination": C1_SQL,
+    "v1_bpe_pair_mining": V1_SQL,
+    "t8_stratified_sample": T8_SQL,
 }

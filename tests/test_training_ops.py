@@ -351,3 +351,71 @@ def test_connected_components_max_iter_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         textdedup.connected_components(pairs, max_iter=1)
+
+
+# ----------------------------------------------------------------- curation
+
+def test_decontaminate_planted_leak(spark):
+    """A train doc that copies a benchmark doc verbatim scores 100%
+    contamination; a token-disjoint doc appears with zero overlap
+    (the left join keeps clean docs in the output)."""
+    from open_bus_gtfs_etl_spark.operators import curation
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_text),          # benchmark (id % 2 == 0)
+        (1, bench_text),          # verbatim leak
+        (3, "one two three four five six seven eight nine ten"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.decontaminate(
+        df, F.col("doc_id") % 2 == 0, shingle_k=5, flag_frac=0.2
+    )
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["n_overlap"] == got[1]["n_shingles"] > 0
+    assert got[1]["contaminated"] == 1
+    assert got[3]["n_overlap"] == 0 and got[3]["contaminated"] == 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must be the broadcast side — at scale
+    the training explode is unboundedly large and must never be."""
+    from open_bus_gtfs_etl_spark.operators import curation
+
+    d = _docs(spark)
+    out = curation.decontaminate(d, F.col("doc_id") % 97 == 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pair_mining_tie_break_deterministic(spark):
+    """Equal-count pairs order lexicographically, so top-k is a total
+    order (engine-reproducible)."""
+    from open_bus_gtfs_etl_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(0, "b c"), (1, "a b"), (2, "c d c d")], "doc_id long, text string"
+    )
+    got = [(r["pair"], r["pair_count"]) for r in curation.bpe_pair_counts(df, top_k=3).collect()]
+    assert got == [("c d", 2), ("a b", 1), ("b c", 1)]
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    from open_bus_gtfs_etl_spark.operators import curation
+
+    d = _docs(spark)
+    s1 = curation.stratified_hash_sample(d, {"en": 50}, default_rate=80)
+    s2 = curation.stratified_hash_sample(d, {"en": 50}, default_rate=80)
+    assert sorted(r["doc_id"] for r in s1.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in s2.select("doc_id").collect()
+    )
+    bad = s1.filter(
+        (F.col("lang") == "en") & (F.col("sample_bucket") >= 50)
+        | (F.col("lang") != "en") & (F.col("sample_bucket") >= 80)
+    ).count()
+    assert bad == 0
+    # every stratum actually sampled, none emptied
+    langs_in = {r["lang"] for r in d.select("lang").distinct().collect()}
+    langs_out = {r["lang"] for r in s1.select("lang").distinct().collect()}
+    assert langs_out == langs_in
