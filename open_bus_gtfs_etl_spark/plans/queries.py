@@ -1508,6 +1508,153 @@ WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 100
 """
 
 
+def w6_turn_latency(spark, sf_dir):
+    """Inter-event latency per user via lag() — the turn-gap /
+    time-between-events analytic a transcript pipeline runs on every
+    conversation (reference analogue: the newest-first date walk of
+    idempotent_process.py:133-138 reasons about gaps between dated
+    runs). Exact integer microseconds (no float time math); first
+    event per user keeps -1 so the output schema stays non-null for
+    the hash gate. Ordering is total: (ts, event_id) — lag is only
+    deterministic under a total order. 100-TB shape: one shuffle on
+    user_id, no join."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP —
+    # the cast is a no-op shift under the session's pinned UTC tz.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_event_id"),
+        F.coalesce(us - F.lag(us).over(w), F.lit(-1)).alias("gap_us"),
+    )
+
+
+W6_SQL = """
+SELECT event_id, user_id,
+       coalesce(lag(event_id) OVER w, -1) AS prev_event_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def s3_sliding_window(spark, sf_dir):
+    """Sliding event-time window (10-minute size, 5-minute slide) —
+    each event lands in exactly two overlapping windows via the
+    built-in F.window, the hop-window shape streaming metrics use.
+    The oracle reproduces the window set arithmetically (each event's
+    two containing window starts on the shared 5-minute grid — Spark's
+    epoch-aligned grid and DuckDB's time_bucket grid coincide because
+    5 minutes divides a day). Money-sum goes through DECIMAL
+    internally (order-independent, exact) and is cast to double at the
+    boundary per the catalog determinism rules."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+S3_SQL = """
+WITH x AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+           AS window_start,
+         value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1
+"""
+
+
+def e3_kmeans_step(spark, sf_dir):
+    """One k-means Lloyd iteration over the embeddings table: assign
+    every vector to its nearest of 8 shared-literal centroids (the
+    same deterministic centroids e2's IVF uses), then recompute each
+    centroid as the per-dimension mean of its members — the iterative
+    clustering kernel (vector-quantization codebook training) that
+    sits under IVF index builds. Long format (cluster_id, dim, mean)
+    keeps the output SQL-comparable without array-representation
+    hazards. Cross-row float sums are NOT reproducible across engines
+    (accumulation order), so components are summed as DECIMAL(27,15)
+    — exact and order-independent — and divided in double at the
+    boundary. 100-TB shape: posexplode fans out 64× but the groupBy
+    on (cluster, dim) is map-side combined down to 8×64 rows; the
+    driver-side loop an iterative k-means adds is bounded by
+    iterations, not data."""
+    from ..operators import similarity
+
+    em = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(64, n_centroids=8)
+    assigned = em.select(
+        similarity.assign_centroid("embedding", cents).cast("long").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    comp = assigned.select(
+        "cluster_id", F.posexplode("v").alias("dim0", "comp")
+    ).select(
+        "cluster_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("comp").cast("decimal(27,15)").alias("comp"),
+    )
+    return comp.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum("comp").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("centroid_val"),
+    )
+
+
+def _build_e3_sql(dim: int = 64, n_centroids: int = 8) -> str:
+    """Lloyd-step oracle sharing e2's centroid literals verbatim."""
+    from ..operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids=n_centroids)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cid, c) AS (VALUES
+    {cent_rows}
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum(list_transform(generate_series(1, len(v)),
+                             i -> v[i] * c[i])) DESC, cid
+         ) AS rn
+  FROM emb CROSS JOIN cents
+),
+comp AS (
+  SELECT CAST(cid AS BIGINT) AS cluster_id,
+         CAST(unnest(generate_series(1, len(v))) AS BIGINT) AS dim,
+         CAST(unnest(v) AS DECIMAL(27,15)) AS comp
+  FROM assigned WHERE rn = 1
+)
+SELECT cluster_id, dim, COUNT(*) AS n_members,
+       round(CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS centroid_val
+FROM comp GROUP BY 1, 2
+"""
+
+
+E3_SQL = _build_e3_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1561,6 +1708,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c1_decontamination": c1_decontamination,
     "v1_bpe_pair_mining": v1_bpe_pair_mining,
     "t8_stratified_sample": t8_stratified_sample,
+    "w6_turn_latency": w6_turn_latency,
+    "s3_sliding_window": s3_sliding_window,
+    "e3_kmeans_step": e3_kmeans_step,
 }
 
 ORACLES: dict[str, str] = {
@@ -1612,4 +1762,7 @@ ORACLES: dict[str, str] = {
     "c1_decontamination": C1_SQL,
     "v1_bpe_pair_mining": V1_SQL,
     "t8_stratified_sample": T8_SQL,
+    "w6_turn_latency": W6_SQL,
+    "s3_sliding_window": S3_SQL,
+    "e3_kmeans_step": E3_SQL,
 }
