@@ -39,13 +39,15 @@ def decontaminate(
 
     100-TB shape: the benchmark side is an eval corpus — bounded and
     tiny relative to training data — so its distinct-shingle set is
-    BROADCAST; the only shuffle is the per-document overlap count,
-    which is map-side combined on (doc_id). Training shingles are
-    exploded once; the token split is materialized before shingling
-    (see word_shingles_from_tokens) so codegen runs it once per row.
-
-    Output: one row per training document, zero-overlap documents
-    included (left join back to the per-document shingle counts).
+    BROADCAST, as the LEFT side-preserving join: every exploded
+    training shingle survives, matched or not, so one map-side-combined
+    groupBy on (doc_id) both counts the overlap AND keeps zero-overlap
+    documents — no second join back to the document list (the naive
+    inner-join-then-left-join shape costs an extra doc_id shuffle and a
+    sort-merge join; this plan's only exchanges are the benchmark-side
+    distinct and the final count). Training shingles are exploded once;
+    the token split is materialized before shingling (see
+    word_shingles_from_tokens) so codegen runs it once per row.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -60,28 +62,25 @@ def decontaminate(
         base.filter(F.col("_is_bench"))
         .select(F.explode("_sh").alias("sh"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    train = base.filter(~F.col("_is_bench")).select(
-        "doc_id", F.size("_sh").cast("long").alias("n_shingles"), F.col("_sh")
+    train_sh = base.filter(~F.col("_is_bench")).select(
+        "doc_id",
+        F.size("_sh").cast("long").alias("n_shingles"),
+        F.explode("_sh").alias("sh"),
     )
-    hits = (
-        train.select("doc_id", F.explode("_sh").alias("sh"))
-        .join(F.broadcast(bench_sh), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    counted = (
+        train_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("_hit").alias("n_overlap"))
     )
     frac = F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
-    return (
-        train.drop("_sh")
-        .join(hits, "doc_id", "left")
-        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0).cast("long")))
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_overlap",
-            F.round(frac, 6).alias("contamination_frac"),
-            (frac >= F.lit(flag_frac)).cast("int").alias("contaminated"),
-        )
+    return counted.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(frac, 6).alias("contamination_frac"),
+        (frac >= F.lit(flag_frac)).cast("int").alias("contaminated"),
     )
 
 
