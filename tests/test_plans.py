@@ -68,3 +68,47 @@ def test_topk_uses_take_ordered(spark):
 def test_whole_stage_codegen_active(spark):
     df = p1_project_filter(spark, SF)
     assert "codegen id" in _formatted(df)
+
+
+def test_bpe_mining_topk_and_partial_agg(spark):
+    """v1 must plan as map-side-combined count + TakeOrdered — a global
+    sort over the pair vocabulary would be the 100-TB bottleneck."""
+    from open_bus_gtfs_etl_spark.plans.queries import v1_bpe_pair_mining
+
+    plan = _plan(v1_bpe_pair_mining(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """t8 is a pure per-row filter: zero exchanges, pushdown-friendly."""
+    from open_bus_gtfs_etl_spark.plans.queries import t8_stratified_sample
+
+    plan = _plan(t8_stratified_sample(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_decontamination_no_sort_merge_join(spark):
+    """c1's only join is the broadcast benchmark lookup — a sort-merge
+    join would mean the doc_id join-back crept back into the plan."""
+    from open_bus_gtfs_etl_spark.plans.queries import c1_decontamination
+
+    plan = _plan(c1_decontamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sliding_window_partial_agg(spark):
+    from open_bus_gtfs_etl_spark.plans.queries import s3_sliding_window
+
+    plan = _plan(s3_sliding_window(spark, SF))
+    assert plan.count("HashAggregate") >= 2, "expected partial+final agg"
+
+
+def test_turn_latency_single_exchange(spark):
+    """w6 shuffles once on user_id; the lag window must not add a
+    second exchange."""
+    from open_bus_gtfs_etl_spark.plans.queries import w6_turn_latency
+
+    plan = _plan(w6_turn_latency(spark, SF))
+    assert plan.count("Exchange") == 1
