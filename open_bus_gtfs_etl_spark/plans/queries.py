@@ -1655,6 +1655,123 @@ FROM comp GROUP BY 1, 2
 E3_SQL = _build_e3_sql()
 
 
+def a7_exact_median(spark, sf_dir):
+    """Exact per-group median via the window formulation (row_number
+    against the partition count, average of the middle one/two values)
+    — NOT percentile()/quantile_cont(), whose interpolation internals
+    are engine-specific; this shape is deterministic on any engine and
+    is how exact order statistics are computed at scale anyway (a
+    single-pass sort within the group's partition, no global sort).
+    The middle-value average goes through DECIMAL per catalog rules."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    n = F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        n.alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / F.lit(2))
+    hi = F.floor((F.col("n") + 2) / F.lit(2))
+    return (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("median_value")
+        )
+    )
+
+
+A7_SQL = """
+WITH r AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS median_value
+FROM r
+WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+GROUP BY event_type
+"""
+
+
+def a8_rollup(spark, sf_dir):
+    """ROLLUP grouping sets over (event_type, day): per-type-per-day,
+    per-type, and grand-total rows in one pass — the multi-level
+    metrics rollup shape. Spark plans grouping sets as a single Expand
+    + one aggregation, so it costs one shuffle regardless of the number
+    of levels. The rolled-up levels' NULL markers are coalesced to a
+    '(all)' sentinel at the output boundary: mixed None/str columns
+    break any sorted-comparison path (including the driver's hash
+    gate), and the data itself has no null event_type/day so the
+    sentinel is unambiguous (with nullable dimensions you'd emit
+    grouping() flags instead)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("(all)")).alias(
+                "day"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+A8_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(day, '%Y-%m-%d'), '(all)') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+GROUP BY ROLLUP(event_type, day)
+"""
+
+
+def a9_pivot(spark, sf_dir):
+    """PIVOT event_type counts into columns per user — the wide-format
+    feature matrix a per-entity ML export produces. The pivot value
+    list is EXPLICIT (never inferred): inference needs an extra job to
+    collect the distinct values and makes the output schema
+    data-dependent — both wrong at 100 TB. Missing combinations fill
+    with 0 so the schema is non-null for the hash gate."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+A9_SQL = """
+SELECT user_id,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1711,6 +1828,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w6_turn_latency": w6_turn_latency,
     "s3_sliding_window": s3_sliding_window,
     "e3_kmeans_step": e3_kmeans_step,
+    "a7_exact_median": a7_exact_median,
+    "a8_rollup": a8_rollup,
+    "a9_pivot": a9_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -1765,4 +1885,7 @@ ORACLES: dict[str, str] = {
     "w6_turn_latency": W6_SQL,
     "s3_sliding_window": S3_SQL,
     "e3_kmeans_step": E3_SQL,
+    "a7_exact_median": A7_SQL,
+    "a8_rollup": A8_SQL,
+    "a9_pivot": A9_SQL,
 }
