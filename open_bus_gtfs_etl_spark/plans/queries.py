@@ -698,19 +698,29 @@ FROM orders
 # M — the CDC merge centerpiece in SQL-checkable batch form (SURVEY §2.8)
 # --------------------------------------------------------------------------
 
-def m1_cdc_final_state(spark, sf_dir):
-    """The flagship shape: treat events as a change feed keyed on
-    (user_id, turn), LWW by (ts, event_id), delete on 'error' events,
-    materialize the final state (W4 + M1-M5 + delete branch)."""
-    ev = _t(spark, sf_dir, "events")
+def _cdc_final_state(ev, pre_partition: bool = False):
+    """Shared m1/m2 kernel. ``pre_partition=True`` repartitions on
+    user_id BEFORE the window: HashPartitioning(user_id) satisfies the
+    window's ClusteredDistribution(user_id, turn) (subset rule), so a
+    downstream per-user aggregation reuses the same exchange — one
+    shuffle for window + groupBy instead of two."""
     turn = F.pmod(F.get_json_object("props", "$.k").cast("int"), F.lit(16)).alias("turn")
     op = F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op")
     src = ev.select("user_id", turn, op, "ts", "event_id", "event_type", "value")
+    if pre_partition:
+        src = src.repartition("user_id")
     w = W.partitionBy("user_id", "turn").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     winners = src.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return winners.where(F.col("op") != "delete").select(
         "user_id", "turn", "event_id", "event_type", "value"
     )
+
+
+def m1_cdc_final_state(spark, sf_dir):
+    """The flagship shape: treat events as a change feed keyed on
+    (user_id, turn), LWW by (ts, event_id), delete on 'error' events,
+    materialize the final state (W4 + M1-M5 + delete branch)."""
+    return _cdc_final_state(_t(spark, sf_dir, "events"))
 
 
 M1_SQL = """
@@ -1772,6 +1782,92 @@ FROM events GROUP BY user_id
 """
 
 
+def m2_render_transcripts(spark, sf_dir):
+    """Render each CDC-materialized conversation (m1's final state) as
+    a single ordered training-export string — the stable-turn-ordering
+    per-turn-equality invariant of the north rule expressed as a query.
+    collect_list carries NO ordering guarantee in a distributed run, so
+    the collected structs are sort_array'd by the leading turn key
+    before rendering; the oracle uses string_agg(... ORDER BY turn).
+    100-TB shape: ONE exchange total — the final state is
+    pre-partitioned on user_id (HashPartitioning(user_id) satisfies
+    the LWW window's ClusteredDistribution(user_id, turn) by the
+    subset rule), so the per-user render aggregation reuses the same
+    shuffle instead of adding a second; plan-test-pinned."""
+    final = _cdc_final_state(_t(spark, sf_dir, "events"), pre_partition=True)
+    lines = F.transform(
+        F.sort_array(F.collect_list(F.struct("turn", "event_type"))),
+        lambda s: F.concat_ws(":", s["turn"].cast("string"), s["event_type"]),
+    )
+    return final.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.concat_ws(" | ", lines).alias("transcript"),
+    )
+
+
+M2_SQL = """
+WITH final AS (
+  SELECT user_id, turn, event_type FROM (
+    SELECT user_id, turn, op, event_type,
+           row_number() OVER (PARTITION BY user_id, turn
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) % 16 AS turn,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             ts, event_id, event_type
+      FROM events
+    )
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       string_agg(CAST(turn AS VARCHAR) || ':' || event_type, ' | '
+                  ORDER BY turn) AS transcript
+FROM final GROUP BY user_id
+"""
+
+
+def c2_token_chunking(spark, sf_dir):
+    """Fixed-size token chunking: split every document into 32-token
+    training windows (the sequence-packing precursor — fixed-width
+    chunks are what a packing stage consumes). Pure array expressions:
+    a sequence of chunk indices exploded per document, each chunk
+    sliced from the ONE materialized token array — no re-split per
+    chunk, no shuffle at all (per-row fan-out only; at 100 TB the
+    chunker is a map-side stage of the tokenize pipeline)."""
+    d = _t(spark, sf_dir, "documents")
+    size = 32
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / F.lit(size)).cast("int"))
+    chunked = base.select(
+        "doc_id", "toks", F.explode(idx).alias("chunk_idx")
+    )
+    chunk = F.slice("toks", F.col("chunk_idx") * size + 1, size)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+C2_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ')
+         AS chunk_text,
+       CAST(len(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32]) AS BIGINT)
+         AS n_chunk_tokens
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1831,6 +1927,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_exact_median": a7_exact_median,
     "a8_rollup": a8_rollup,
     "a9_pivot": a9_pivot,
+    "m2_render_transcripts": m2_render_transcripts,
+    "c2_token_chunking": c2_token_chunking,
 }
 
 ORACLES: dict[str, str] = {
@@ -1888,4 +1986,6 @@ ORACLES: dict[str, str] = {
     "a7_exact_median": A7_SQL,
     "a8_rollup": A8_SQL,
     "a9_pivot": A9_SQL,
+    "m2_render_transcripts": M2_SQL,
+    "c2_token_chunking": C2_SQL,
 }

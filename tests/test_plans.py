@@ -112,3 +112,20 @@ def test_turn_latency_single_exchange(spark):
 
     plan = _plan(w6_turn_latency(spark, SF))
     assert plan.count("Exchange") == 1
+
+
+def test_transcript_render_reuses_window_partitioning(spark):
+    """m2 must plan ONE exchange: HashPartitioning(user_id) satisfies
+    both the LWW window's ClusteredDistribution(user_id, turn) (subset
+    rule) and the per-user render aggregation."""
+    from open_bus_gtfs_etl_spark.plans.queries import m2_render_transcripts
+
+    plan = _plan(m2_render_transcripts(spark, SF))
+    assert plan.count("Exchange") == 1
+
+
+def test_token_chunking_shuffle_free(spark):
+    from open_bus_gtfs_etl_spark.plans.queries import c2_token_chunking
+
+    plan = _plan(c2_token_chunking(spark, SF))
+    assert "Exchange" not in plan
