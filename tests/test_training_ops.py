@@ -419,3 +419,31 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     langs_in = {r["lang"] for r in d.select("lang").distinct().collect()}
     langs_out = {r["lang"] for r in s1.select("lang").distinct().collect()}
     assert langs_out == langs_in
+
+
+def test_token_chunking_reassembles_documents(spark):
+    """Lossless chunking invariant: re-joining every doc's chunks in
+    chunk_idx order reproduces the original text exactly, and chunk
+    token counts sum to the doc's token count."""
+    from open_bus_gtfs_etl_spark.plans.queries import c2_token_chunking
+
+    chunks = c2_token_chunking(spark, SF)
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("rebuilt"),
+        F.sum("n_chunk_tokens").alias("n_tok"),
+    )
+    orig = _docs(spark).select(
+        "doc_id", "text", F.size(F.split("text", " ")).cast("long").alias("n_orig")
+    )
+    bad = (
+        rebuilt.join(orig, "doc_id")
+        .filter((F.col("rebuilt") != F.col("text")) | (F.col("n_tok") != F.col("n_orig")))
+        .count()
+    )
+    assert bad == 0
