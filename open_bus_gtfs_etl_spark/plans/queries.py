@@ -1868,6 +1868,80 @@ FROM c
 """
 
 
+def c3_quality_filter(spark, sf_dir):
+    """The curation DECISION gate (distinct from t1's scoring): apply
+    Gopher-style per-row quality thresholds and emit keep/drop with the
+    failed checks as an ordered reasons string — a training pipeline
+    keeps the drop ledger, not just the survivors (the reference's
+    validity gates likewise record why a date was skipped,
+    idempotent_process.py:94-104). All signals are per-row array
+    expressions (no shuffle): token-count range, unique-token ratio,
+    duplicate-bigram fraction, mean token length."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("long")
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    nb = (n - 1).cast("long")
+    bi = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, F.lit(2), F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dupbi = F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / nb.cast("double")
+    mean_len = (F.length("text") - n + 1).cast("double") / n.cast("double")
+    checks = [
+        ("too_short", n < 20),
+        ("too_long", n > 90),
+        ("low_uniq", uniq < 0.55),
+        ("repetitive", dupbi > 0.35),
+        ("token_len", (mean_len < 2.0) | (mean_len > 8.0)),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    return d.select(
+        "doc_id",
+        (reasons == "").cast("int").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+C3_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           AS uniq,
+         1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)
+               / CAST(len(toks) - 1 AS DOUBLE) AS dupbi,
+         CAST(length(text) - len(toks) + 1 AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS mean_len
+  FROM (
+    SELECT doc_id, text, string_split(text, ' ') AS toks,
+           list_transform(
+             generate_series(1, len(string_split(text,' ')) - 1),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+           ) AS bi
+    FROM documents
+  )
+)
+SELECT doc_id,
+       CAST(reasons = '' AS INT) AS keep,
+       reasons
+FROM (
+  SELECT doc_id,
+         concat_ws(',',
+           CASE WHEN n < 20 THEN 'too_short' END,
+           CASE WHEN n > 90 THEN 'too_long' END,
+           CASE WHEN uniq < 0.55 THEN 'low_uniq' END,
+           CASE WHEN dupbi > 0.35 THEN 'repetitive' END,
+           CASE WHEN mean_len < 2.0 OR mean_len > 8.0 THEN 'token_len' END
+         ) AS reasons
+  FROM s
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1929,6 +2003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_pivot": a9_pivot,
     "m2_render_transcripts": m2_render_transcripts,
     "c2_token_chunking": c2_token_chunking,
+    "c3_quality_filter": c3_quality_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -1988,4 +2063,5 @@ ORACLES: dict[str, str] = {
     "a9_pivot": A9_SQL,
     "m2_render_transcripts": M2_SQL,
     "c2_token_chunking": C2_SQL,
+    "c3_quality_filter": C3_SQL,
 }
