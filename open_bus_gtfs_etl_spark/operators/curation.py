@@ -80,7 +80,7 @@ def decontaminate(
         "n_shingles",
         "n_overlap",
         F.round(frac, 6).alias("contamination_frac"),
-        (frac >= F.lit(flag_frac)).cast("int").alias("contaminated"),
+        (frac >= F.lit(flag_frac)).cast("long").alias("contaminated"),
     )
 
 

@@ -1460,7 +1460,7 @@ SELECT tr.doc_id, tr.n_shingles,
        round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
              / CAST(tr.n_shingles AS DOUBLE), 6) AS contamination_frac,
        CAST(CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
-            / CAST(tr.n_shingles AS DOUBLE) >= 0.2 AS INT) AS contaminated
+            / CAST(tr.n_shingles AS DOUBLE) >= 0.2 AS BIGINT) AS contaminated
 FROM train tr LEFT JOIN hits h USING (doc_id)
 """
 
@@ -1901,7 +1901,7 @@ def c3_quality_filter(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        (reasons == "").cast("int").alias("keep"),
+        (reasons == "").cast("long").alias("keep"),
         reasons.alias("reasons"),
     )
 
@@ -1926,7 +1926,7 @@ WITH s AS (
   )
 )
 SELECT doc_id,
-       CAST(reasons = '' AS INT) AS keep,
+       CAST(reasons = '' AS BIGINT) AS keep,
        reasons
 FROM (
   SELECT doc_id,
