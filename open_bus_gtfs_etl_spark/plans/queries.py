@@ -1942,6 +1942,286 @@ FROM (
 """
 
 
+def m3_snapshot_diff(spark, sf_dir):
+    """Reverse CDC / snapshot reconciliation: diff two materialized
+    snapshots of the keyed state (as of a cutoff vs current) back into
+    a minimal change feed — insert / update / delete per key. The dual
+    of the merge kernel: merge folds events into state, this recovers
+    the net events between two states (what a reconciliation or
+    downstream re-sync job emits; reference analogue: comparing
+    yesterday's loaded date against today's re-download,
+    idempotent_process.py:94-104).
+
+    Scale shape: each snapshot's LWW window hash-partitions on the full
+    key (user_id, turn) and the FULL OUTER join joins on exactly those
+    keys, so the join reuses the windows' output partitioning — no
+    third shuffle. At 100 TB the two snapshots are key-bucketed stored
+    tables and the whole diff runs shuffle-free on bucketed reads."""
+    cutoff = "2024-01-16 00:00:00"
+    ev = _t(spark, sf_dir, "events")
+
+    def snap(src):
+        turn = F.pmod(
+            F.get_json_object("props", "$.k").cast("int"), F.lit(16)
+        ).alias("turn")
+        op = F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+        s = src.select("user_id", turn, op.alias("op"), "ts", "event_id")
+        w = W.partitionBy("user_id", "turn").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            s.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("op") != "delete"))
+            .select("user_id", "turn", "event_id")
+        )
+
+    # both snapshots share the events scan lineage, so each side's
+    # columns are renamed before the join (self-join disambiguation)
+    a = snap(ev.where(F.col("ts") < cutoff)).select(
+        F.col("user_id").alias("a_user_id"),
+        F.col("turn").alias("a_turn"),
+        F.col("event_id").alias("old_event_id"),
+    )
+    b = snap(ev).select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("turn").alias("b_turn"),
+        F.col("event_id").alias("new_event_id"),
+    )
+    j = a.join(
+        b,
+        (F.col("a_user_id") == F.col("b_user_id"))
+        & (F.col("a_turn") == F.col("b_turn")),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("old_event_id").isNull(), "insert")
+        .when(F.col("new_event_id").isNull(), "delete")
+        .when(F.col("old_event_id") != F.col("new_event_id"), "update")
+    )
+    return (
+        j.select(
+            F.coalesce("a_user_id", "b_user_id").alias("user_id"),
+            F.coalesce("a_turn", "b_turn").alias("turn"),
+            change.alias("change_op"),
+            "new_event_id",
+            "old_event_id",
+        )
+        .where(F.col("change_op").isNotNull())
+    )
+
+
+M3_SQL = """
+WITH src AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INT) % 16 AS turn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         ts, event_id
+  FROM events
+), snap_b AS (
+  SELECT user_id, turn, event_id FROM (
+    SELECT user_id, turn, op, event_id,
+           row_number() OVER (PARTITION BY user_id, turn
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM src
+  ) WHERE rn = 1 AND op <> 'delete'
+), snap_a AS (
+  SELECT user_id, turn, event_id FROM (
+    SELECT user_id, turn, op, event_id,
+           row_number() OVER (PARTITION BY user_id, turn
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM src WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT user_id, turn, change_op, new_event_id, old_event_id FROM (
+  SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+         COALESCE(a.turn, b.turn) AS turn,
+         CASE WHEN a.event_id IS NULL THEN 'insert'
+              WHEN b.event_id IS NULL THEN 'delete'
+              WHEN a.event_id <> b.event_id THEN 'update' END AS change_op,
+         b.event_id AS new_event_id,
+         a.event_id AS old_event_id
+  FROM snap_a a FULL OUTER JOIN snap_b b
+    ON a.user_id = b.user_id AND a.turn = b.turn
+) WHERE change_op IS NOT NULL
+"""
+
+
+def c4_pii_scrub(spark, sf_dir):
+    """PII redaction curation op: replace emails, IPv4 addresses and
+    phone-shaped numbers with typed placeholders, and emit the per-doc
+    match counts (the redaction ledger a compliance pipeline keeps).
+    The synthetic corpus carries no PII, so deterministic PII is
+    injected from the doc's own columns FIRST — in both engines
+    identically — making every regex exercise real matches instead of
+    vacuously hashing unchanged text.
+
+    100-TB shape: per-row regexp only — no shuffle, no join, whole-stage
+    codegen; the patterns are shared verbatim with the oracle (ASCII
+    classes + word boundaries, identical semantics in Java regex and
+    RE2)."""
+    d = _t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\b\d{3}-\d{4}\b"
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, email, "<EMAIL>"), ipv4, "<IP>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(injected, F.lit(ipv4)).cast("long").alias("n_ips"),
+        F.regexp_count(injected, F.lit(phone)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+C4_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+FROM inj
+"""
+
+
+def v2_sequence_packing(spark, sf_dir):
+    """Sequence packing for training export: pack documents, in a
+    deterministic per-shard order, into fixed token-budget training
+    sequences (contiguous first-fit — a doc starts in the sequence
+    where its shard-local running token count begins). Emits the pack
+    manifest per (shard, seq): doc count, token sum, first/last doc.
+
+    100-TB shape: ONE shuffle total — the running-sum window partitions
+    on shard, and the (shard, seq_id) aggregation's clustering is
+    satisfied by HashPartitioning(shard) (subset rule), so the groupBy
+    reuses the window's exchange. Production shards number in the
+    thousands, so the window never sees unbounded partitions."""
+    budget = 512
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = s.withColumn("cum", F.sum("n_tokens").over(w))
+    packed = c.withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+V2_SQL = """
+WITH s AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT shard, CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY 1, 2
+"""
+
+
+def t9_tfidf(spark, sf_dir):
+    """Corpus-level TF-IDF term mining: document frequency + total term
+    frequency per token, idf-weighted, top 100 terms. The classic
+    two-level aggregation: explode → per-(doc, token) partial count →
+    per-token (df, tf) rollup — both map-side combined — then a
+    TakeOrdered top-k; the corpus size N enters as one scalar.
+
+    100-TB shape: the explode never materializes (pipelined into the
+    partial agg); two key shuffles (token,doc)→(token); top-k is
+    TakeOrdered, never a global sort. idf rounded to 6dp on both sides
+    (the shared-double rule, module docstring)."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # one scalar job, mirrored by the oracle's COUNT(*)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    per_tok = per_doc.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6)
+    weighted = per_tok.select(
+        "token",
+        "df",
+        "total_tf",
+        idf.alias("idf"),
+        F.round(F.col("total_tf").cast("double") * idf, 6).alias("weight"),
+    )
+    return weighted.orderBy(F.col("weight").desc(), "token").limit(100)
+
+
+T9_SQL = """
+WITH per_doc AS (
+  SELECT token, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+), per_tok AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM per_doc GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT token, df, total_tf,
+       round(ln(n_docs / CAST(df AS DOUBLE)), 6) AS idf,
+       round(CAST(total_tf AS DOUBLE)
+             * round(ln(n_docs / CAST(df AS DOUBLE)), 6), 6) AS weight
+FROM per_tok, n
+ORDER BY weight DESC, token
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2004,6 +2284,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m2_render_transcripts": m2_render_transcripts,
     "c2_token_chunking": c2_token_chunking,
     "c3_quality_filter": c3_quality_filter,
+    "m3_snapshot_diff": m3_snapshot_diff,
+    "c4_pii_scrub": c4_pii_scrub,
+    "v2_sequence_packing": v2_sequence_packing,
+    "t9_tfidf": t9_tfidf,
 }
 
 ORACLES: dict[str, str] = {
@@ -2064,4 +2348,8 @@ ORACLES: dict[str, str] = {
     "m2_render_transcripts": M2_SQL,
     "c2_token_chunking": C2_SQL,
     "c3_quality_filter": C3_SQL,
+    "m3_snapshot_diff": M3_SQL,
+    "c4_pii_scrub": C4_SQL,
+    "v2_sequence_packing": V2_SQL,
+    "t9_tfidf": T9_SQL,
 }

@@ -129,3 +129,48 @@ def test_token_chunking_shuffle_free(spark):
 
     plan = _plan(c2_token_chunking(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_snapshot_diff_join_reuses_window_partitioning(spark):
+    """m3: one exchange per snapshot window, and the full-outer join on
+    the same (user_id, turn) keys must NOT add a third shuffle; the
+    cutoff filter must reach snapshot A's scan."""
+    from open_bus_gtfs_etl_spark.plans.queries import m3_snapshot_diff
+
+    df = m3_snapshot_diff(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "FullOuter" in plan
+    pushed = _formatted(df)
+    assert "LessThan(ts" in pushed, "cutoff must push to snapshot A's scan"
+
+
+def test_pii_scrub_shuffle_free(spark):
+    """c4 is per-row regexp only — zero exchanges, codegen'd."""
+    from open_bus_gtfs_etl_spark.plans.queries import c4_pii_scrub
+
+    df = c4_pii_scrub(spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "codegen id" in _formatted(df)
+
+
+def test_sequence_packing_single_exchange(spark):
+    """v2: HashPartitioning(shard) from the running-sum window must
+    also satisfy the (shard, seq_id) aggregation (subset rule) — one
+    shuffle total, with map-side partial aggregation."""
+    from open_bus_gtfs_etl_spark.plans.queries import v2_sequence_packing
+
+    plan = _plan(v2_sequence_packing(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tfidf_take_ordered_and_partial_agg(spark):
+    """t9's top-k must be TakeOrdered (no global sort over the token
+    vocabulary) and both aggregation levels map-side combined."""
+    from open_bus_gtfs_etl_spark.plans.queries import t9_tfidf
+
+    plan = _plan(t9_tfidf(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
