@@ -2046,6 +2046,55 @@ SELECT user_id, turn, change_op, new_event_id, old_event_id FROM (
 """
 
 
+def m4_scd2_history(spark, sf_dir):
+    """SCD Type-2 version history from the change feed: instead of the
+    merge kernel's final state (m1), materialize EVERY version of every
+    key with its validity interval — ``valid_from`` = the event's ts,
+    ``valid_to`` = the next change's ts (a later upsert OR a delete
+    both close the version; null = still current). The other canonical
+    lakehouse CDC sink shape next to last-writer-wins upsert: auditable
+    history instead of point-in-time state.
+
+    100-TB shape: one exchange — the lead() window partitions on the
+    full key; the upsert filter runs after lead so deletes terminate
+    versions without surviving as rows. Total order inside a key is
+    (ts, event_id), the same LWW tie-break the merge kernel uses."""
+    ev = _t(spark, sf_dir, "events")
+    turn = F.pmod(
+        F.get_json_object("props", "$.k").cast("int"), F.lit(16)
+    ).alias("turn")
+    op = F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    src = ev.select("user_id", turn, op.alias("op"), "ts", "event_id")
+    w = W.partitionBy("user_id", "turn").orderBy("ts", "event_id")
+    versions = src.withColumn("valid_to", F.lead("ts").over(w))
+    return versions.where(F.col("op") == "upsert").select(
+        "user_id",
+        "turn",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().cast("long").alias("is_current"),
+    )
+
+
+M4_SQL = """
+SELECT user_id, turn, event_id, valid_from, valid_to,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM (
+  SELECT user_id, turn, op, event_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id, turn
+                        ORDER BY ts, event_id) AS valid_to
+  FROM (
+    SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS INT) % 16 AS turn,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+           ts, event_id
+    FROM events
+  )
+) WHERE op = 'upsert'
+"""
+
+
 def c4_pii_scrub(spark, sf_dir):
     """PII redaction curation op: replace emails, IPv4 addresses and
     phone-shaped numbers with typed placeholders, and emit the per-doc
@@ -2285,6 +2334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c2_token_chunking": c2_token_chunking,
     "c3_quality_filter": c3_quality_filter,
     "m3_snapshot_diff": m3_snapshot_diff,
+    "m4_scd2_history": m4_scd2_history,
     "c4_pii_scrub": c4_pii_scrub,
     "v2_sequence_packing": v2_sequence_packing,
     "t9_tfidf": t9_tfidf,
@@ -2349,6 +2399,7 @@ ORACLES: dict[str, str] = {
     "c2_token_chunking": C2_SQL,
     "c3_quality_filter": C3_SQL,
     "m3_snapshot_diff": M3_SQL,
+    "m4_scd2_history": M4_SQL,
     "c4_pii_scrub": C4_SQL,
     "v2_sequence_packing": V2_SQL,
     "t9_tfidf": T9_SQL,

@@ -145,6 +145,15 @@ def test_snapshot_diff_join_reuses_window_partitioning(spark):
     assert "LessThan(ts" in pushed, "cutoff must push to snapshot A's scan"
 
 
+def test_scd2_history_single_exchange(spark):
+    """m4: the lead() window is the only shuffle — the upsert filter
+    runs post-window, adding no exchange."""
+    from open_bus_gtfs_etl_spark.plans.queries import m4_scd2_history
+
+    plan = _plan(m4_scd2_history(spark, SF))
+    assert plan.count("Exchange") == 1
+
+
 def test_pii_scrub_shuffle_free(spark):
     """c4 is per-row regexp only — zero exchanges, codegen'd."""
     from open_bus_gtfs_etl_spark.plans.queries import c4_pii_scrub
