@@ -116,6 +116,60 @@ def bpe_pair_counts(
     )
 
 
+def domain_rebalance(
+    df: DataFrame,
+    targets: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    precision: int = 1 << 20,
+) -> DataFrame:
+    """Rebalance the corpus to a target stratum mix by deterministic
+    downsampling: per-stratum keep rate ``r_s = K * target_s / count_s``
+    with ``K = min_s(count_s / target_s)``, so the binding stratum (the
+    one scarcest relative to its target share) is kept WHOLE and every
+    other stratum is thinned until the kept mix is proportional to
+    ``targets``. Strata absent from ``targets`` are dropped entirely.
+    The domain/language-reweighting step every pretraining mix spec
+    turns into a pipeline op.
+
+    Row selection reuses the stratified-sampling LCG (see
+    stratified_hash_sample — shared verbatim with the SQL oracle) at
+    ``precision`` granularity: keep iff ``bucket < floor(r_s *
+    precision)``. Rates derive only from the observed counts, so the
+    sample is reproducible and resumable.
+
+    100-TB shape: the stratum-count aggregate is map-side combined and
+    its output is ~|strata| rows, so the rate table BROADCASTS back
+    onto the corpus — the data itself is never shuffled, and the filter
+    stays codegen'd."""
+    tgt = F.lit(None).cast("double")
+    for stratum, weight in sorted(targets.items()):
+        tgt = F.when(F.col(strata_col) == stratum, F.lit(float(weight))).otherwise(tgt)
+    counts = df.groupBy(strata_col).agg(
+        F.count("*").cast("double").alias("_n")
+    ).withColumn("_t", tgt)
+    # K as a 1-row aggregate broadcast-cross-joined onto the ~|strata|
+    # rate rows (a partition-less window would funnel through a single
+    # partition and warn; same math, better plan)
+    kf = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_k"))
+    rates = counts.crossJoin(F.broadcast(kf)).select(
+        strata_col,
+        F.floor(F.col("_k") * F.col("_t") / F.col("_n") * F.lit(precision))
+        .cast("long")
+        .alias("_thr"),
+    )
+    bucket = F.pmod(
+        F.pmod(F.col(id_col) * F.lit(1103515245) + F.lit(12345), F.lit(2147483648)),
+        F.lit(precision),
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: dict[str, int],

@@ -2162,6 +2162,42 @@ FROM inj
 """
 
 
+def c5_domain_rebalance(spark, sf_dir):
+    """Target-mix corpus rebalancing (domain/language reweighting):
+    deterministic per-language downsampling so the kept mix is
+    proportional to the target shares, with the binding language kept
+    whole (operators/curation.py:domain_rebalance). Rates derive from
+    the observed counts; row choice is the shared-LCG bucket at 2^20
+    granularity, both identical in the oracle. The corpus is never
+    shuffled — the ~|langs|-row rate table broadcasts."""
+    from ..operators.curation import domain_rebalance
+
+    targets = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    d = _t(spark, sf_dir, "documents")
+    return domain_rebalance(d, targets).select("doc_id", "lang")
+
+
+C5_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+), t AS (
+  SELECT lang, n,
+         CASE lang WHEN 'de' THEN 0.15 WHEN 'en' THEN 0.4
+                   WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                   WHEN 'zh' THEN 0.15 END AS tgt
+  FROM counts
+), r AS (
+  SELECT lang,
+         CAST(FLOOR(MIN(n / tgt) OVER () * tgt / n * 1048576) AS BIGINT)
+           AS thr
+  FROM t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE (d.doc_id * 1103515245 + 12345) % 2147483648 % 1048576 < r.thr
+"""
+
+
 def v2_sequence_packing(spark, sf_dir):
     """Sequence packing for training export: pack documents, in a
     deterministic per-shard order, into fixed token-budget training
@@ -2336,6 +2372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m3_snapshot_diff": m3_snapshot_diff,
     "m4_scd2_history": m4_scd2_history,
     "c4_pii_scrub": c4_pii_scrub,
+    "c5_domain_rebalance": c5_domain_rebalance,
     "v2_sequence_packing": v2_sequence_packing,
     "t9_tfidf": t9_tfidf,
 }
@@ -2401,6 +2438,7 @@ ORACLES: dict[str, str] = {
     "m3_snapshot_diff": M3_SQL,
     "m4_scd2_history": M4_SQL,
     "c4_pii_scrub": C4_SQL,
+    "c5_domain_rebalance": C5_SQL,
     "v2_sequence_packing": V2_SQL,
     "t9_tfidf": T9_SQL,
 }

@@ -175,6 +175,17 @@ def test_sequence_packing_single_exchange(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_domain_rebalance_broadcasts_rate_table(spark):
+    """c5 must broadcast the ~|strata|-row rate table back onto the
+    corpus — a sort-merge join would shuffle the whole corpus by lang
+    (skewed and pointless at 100 TB)."""
+    from open_bus_gtfs_etl_spark.plans.queries import c5_domain_rebalance
+
+    plan = _plan(c5_domain_rebalance(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_tfidf_take_ordered_and_partial_agg(spark):
     """t9's top-k must be TakeOrdered (no global sort over the token
     vocabulary) and both aggregation levels map-side combined."""

@@ -421,6 +421,33 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     assert langs_out == langs_in
 
 
+def test_domain_rebalance_binding_stratum_kept_whole(spark):
+    """The stratum scarcest relative to its target gets rate 1.0 (all
+    rows survive); strata absent from targets drop entirely; the kept
+    mix moves toward the target proportions; and the selection is
+    deterministic across runs."""
+    from open_bus_gtfs_etl_spark.operators import curation
+
+    rows = (
+        [(i, "en") for i in range(900)]
+        + [(i + 1000, "de") for i in range(100)]
+        + [(i + 2000, "xx") for i in range(50)]
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # targets 50/50 → binding stratum is de (100/0.5 < 900/0.5):
+    # all 100 de rows kept, en thinned to ~100
+    out = curation.domain_rebalance(d, {"en": 0.5, "de": 0.5})
+    kept = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert by_lang.get("de") == 100, "binding stratum must be kept whole"
+    assert "xx" not in by_lang, "stratum absent from targets must drop"
+    assert 70 <= by_lang.get("en", 0) <= 130, "en must thin toward 100"
+    out2 = curation.domain_rebalance(d, {"en": 0.5, "de": 0.5})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
+
+
 def test_token_chunking_reassembles_documents(spark):
     """Lossless chunking invariant: re-joining every doc's chunks in
     chunk_idx order reproduces the original text exactly, and chunk
