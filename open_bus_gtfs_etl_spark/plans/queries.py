@@ -1942,6 +1942,81 @@ FROM (
 """
 
 
+def w7_rank_family(spark, sf_dir):
+    """The remaining §2.5 rank functions in one window: rank,
+    dense_rank, percent_rank over a tie-heavy ordering. Ties are
+    MANUFACTURED exactly (floor(value) — integer, engine-identical)
+    so rank vs dense_rank actually diverge and the result stays
+    deterministic: with a tied ordering every tie gets the same rank,
+    so each output row is fixed regardless of intra-tie order (ntile
+    is excluded for exactly that reason — it splits ties
+    arbitrarily). percent_rank divides small exact integers, IEEE-
+    identical in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor("value").cast("long")
+    w = W.partitionBy("event_type").orderBy(F.col("val_bucket").desc())
+    return (
+        ev.select("event_id", "event_type", bucket.alias("val_bucket"))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
+        .withColumn("prnk", F.round(F.percent_rank().over(w), 6))
+    )
+
+
+W7_SQL = """
+SELECT event_id, event_type, val_bucket,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk
+FROM (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value) AS BIGINT) AS val_bucket
+  FROM events
+)
+WINDOW w AS (PARTITION BY event_type ORDER BY val_bucket DESC)
+"""
+
+
+def a10_cube(spark, sf_dir):
+    """CUBE grouping sets over (event_type, day): all four grouping
+    combinations in one pass — like a8's ROLLUP, Spark plans this as a
+    single Expand + ONE aggregation shuffle regardless of the number
+    of sets (2^k output groups but the input is read once). Same
+    '(all)' sentinel rule as a8 (mixed None/str columns break sorted
+    comparison paths)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("(all)")).alias(
+                "day"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+A10_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(day, '%Y-%m-%d'), '(all)') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+GROUP BY CUBE(event_type, day)
+"""
+
+
 def m3_snapshot_diff(spark, sf_dir):
     """Reverse CDC / snapshot reconciliation: diff two materialized
     snapshots of the keyed state (as of a cutoff vs current) back into
@@ -2371,6 +2446,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c3_quality_filter": c3_quality_filter,
     "m3_snapshot_diff": m3_snapshot_diff,
     "m4_scd2_history": m4_scd2_history,
+    "w7_rank_family": w7_rank_family,
+    "a10_cube": a10_cube,
     "c4_pii_scrub": c4_pii_scrub,
     "c5_domain_rebalance": c5_domain_rebalance,
     "v2_sequence_packing": v2_sequence_packing,
@@ -2437,6 +2514,8 @@ ORACLES: dict[str, str] = {
     "c3_quality_filter": C3_SQL,
     "m3_snapshot_diff": M3_SQL,
     "m4_scd2_history": M4_SQL,
+    "w7_rank_family": W7_SQL,
+    "a10_cube": A10_SQL,
     "c4_pii_scrub": C4_SQL,
     "c5_domain_rebalance": C5_SQL,
     "v2_sequence_packing": V2_SQL,

@@ -175,6 +175,16 @@ def test_sequence_packing_single_exchange(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_cube_single_expand_single_shuffle(spark):
+    """a10: all four grouping sets must plan as ONE Expand + one
+    aggregation exchange — not a union of four scans."""
+    from open_bus_gtfs_etl_spark.plans.queries import a10_cube
+
+    plan = _plan(a10_cube(spark, SF))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
 def test_domain_rebalance_broadcasts_rate_table(spark):
     """c5 must broadcast the ~|strata|-row rate table back onto the
     corpus — a sort-merge join would shuffle the whole corpus by lang
