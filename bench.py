@@ -17,14 +17,20 @@ target — and the headline efficiency is the MEDIAN of the qualified
 pair ratios. A pair is disqualified by either of two pre-registered
 rules: (a) ratio > 1.05 (physically impossible for real scaling —
 outcome-evidence that the low-side partner ran degraded), or (b)
-either side launched at a host-contention probe < PAIR_PROBE_FLOOR
-(0.7) of session best (covariate evidence of a contended window —
-symmetric and outcome-blind: a bad window pushes the ratio in either
-direction, and both directions have been observed). Every phase —
-queries, each scaling sample, the MoR sample — carries a probe score,
-every timed launch is deferred while the probe reads below GATE_FLOOR
-(0.75) of the decaying session-best baseline, and ALL raw samples and
-pairs stay in the record with their probes.
+either side's window — the min of its launch and completion
+host-contention probes — < PAIR_PROBE_FLOOR (0.7) of session best
+(covariate evidence of a contended window — symmetric and
+outcome-blind: a bad window pushes the ratio in either direction, and
+both directions have been observed). The probe itself has three
+components (single-thread CPU, tmpfs write burst, 8-way parallel CPU
+burn, geomean): the parallel burn detects stolen-core contention that
+a single-threaded probe is structurally blind to, and the completion
+probe catches mid-sample window drift — both blind spots demonstrated
+by round-4 run E (BENCH.md). Every phase — queries, each scaling
+sample, the MoR sample — carries a probe score, every timed launch is
+deferred while the probe reads below GATE_FLOOR (0.75) of the decaying
+session-best baseline, and ALL raw samples and pairs stay in the
+record with their probes.
 
 Prints ONE JSON line:
   {"metric": "change-events/sec", "value": N, "unit": "events/sec",
@@ -74,14 +80,38 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _burn(n: int) -> int:
+    """CPU burn kernel for the parallel probe component (module-level
+    so multiprocessing can pickle it)."""
+    acc = 0
+    for i in range(n):
+        acc += i * i
+    return acc
+
+
+# width of the parallel probe component: 8 = the host's efficient
+# worker parallelism (kernel ceiling, see replay_once.py) — wide
+# enough that a few stolen cores show up, narrow enough to stay ~1s
+PROBE_PAR = int(os.environ.get("BENCH_PROBE_PAR", "8"))
+
+
 def _probe() -> float:
-    """Host-contention probe (~1s): single-thread arithmetic plus a
-    tmpfs write burst — the two resources the sandbox's invisible
-    neighbors actually steal (CPU and kernel/FS path; BENCH.md
-    "Environment caveat"). Returns a throughput score; identical
-    hardware in a quiet window scores ~the session max, a contended
-    window 5-20x lower. Used to time sample launches, never to alter
-    the measured numbers."""
+    """Host-contention probe (~2s): single-thread arithmetic, a tmpfs
+    write burst, and an 8-way PARALLEL arithmetic burn — the resources
+    the sandbox's invisible neighbors actually steal (CPU, kernel/FS
+    path, and *free cores*; BENCH.md "Environment caveat"). The
+    parallel component exists because a single-threaded probe is
+    structurally blind to stolen-core contention: in round-4 run E a
+    4-core sample launched at probe 1.0 ran 28% under the quiet-window
+    norm while 1-core samples were unaffected — neighbors were holding
+    several cores, which a 1-thread burn never notices but an 8-way
+    burn sees as lost aggregate throughput. Returns a throughput score
+    (geometric mean of the three components); identical hardware in a
+    quiet window scores ~the session max, a contended window 5-20x
+    lower. Used to time sample launches and as a per-sample window
+    covariate, never to alter the measured numbers."""
+    import multiprocessing as mp
+
     t0 = time.time()
     acc = 0
     for i in range(2_000_000):
@@ -95,8 +125,20 @@ def _probe() -> float:
             f.write(blob)
             f.flush()
     io_s = 128 / (time.time() - t0)
-    # geometric mean keeps either resource from dominating the score
-    return (cpu_s * io_s) ** 0.5
+    n = 1_500_000
+    t0 = time.time()
+    # raw fork Processes, not a Pool: Pool.map pickles the task by
+    # qualified name, which breaks when bench.py is loaded via
+    # importlib (tests) — forked children inherit _burn directly
+    procs = [mp.get_context("fork").Process(target=_burn, args=(n,))
+             for _ in range(PROBE_PAR)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    par_s = PROBE_PAR * n / (time.time() - t0)
+    # geometric mean keeps any one resource from dominating the score
+    return (cpu_s * io_s * par_s) ** (1.0 / 3.0)
 
 
 # launch gate: defer a timed sample while the probe reads below this
@@ -153,15 +195,21 @@ def _pair_effs(samples: dict, low: int, high: int,
     headline efficiency (stopping at the first success or taking the
     max would select favorable noise).
 
-    Each record carries ``eff`` plus ``min_probe`` — the lower of the
-    two sides' launch probes normalized to ``best_raw`` — so the
-    headline median can apply the PAIR_PROBE_FLOOR covariate gate."""
+    Each record carries ``eff`` plus ``min_probe`` — the lowest of the
+    two sides' launch AND completion probes normalized to ``best_raw``
+    — so the headline median can apply the PAIR_PROBE_FLOOR covariate
+    gate. The completion probe matters: a 32M replay runs 1-4 minutes
+    and the window can collapse mid-sample (round-4 run E: the
+    best-throughput samples launched at the run's LOWEST probes and
+    vice versa — launch-time-only probing was near-uninformative about
+    the window the sample actually ran in)."""
     ratio = high / low
     out = []
     for h, l in zip(samples[high], samples[low]):
         if not (l["events_per_sec"] and h["events_per_sec"]):
             continue
-        probes = [p for p in (h.get("probe_raw"), l.get("probe_raw"))
+        probes = [p for p in (h.get("probe_raw"), h.get("probe_raw_after"),
+                              l.get("probe_raw"), l.get("probe_raw_after"))
                   if p is not None]
         min_probe = (min(probes) / best_raw) if (probes and best_raw) else None
         out.append({
@@ -348,6 +396,13 @@ def main() -> None:
                 s = _replay_subprocess(cores, wal_dir, n_events, lake, n_buckets,
                                        table_mode)
                 s["probe_raw"] = score
+                # completion probe: the window can collapse (or clear)
+                # mid-sample — the pair covariate takes the min over
+                # both sides' launch AND completion probes
+                after = _probe()
+                probe_raws.append(after)
+                best_probe = max(best_probe, after)
+                s["probe_raw_after"] = after
                 samples[cores].append(s)
                 shutil.rmtree(lake, ignore_errors=True)
                 if cores == high:
@@ -463,6 +518,11 @@ def main() -> None:
                     round(eff_best, 3) if eff_best is not None else None
                 ),
                 "pair_efficiencies": [round(e, 3) for e in all_effs],
+                "probe_components": (
+                    "1-thread CPU x tmpfs write x "
+                    f"{PROBE_PAR}-way parallel CPU (geomean); sampled at "
+                    "launch AND completion of every scaling sample"
+                ),
                 "headline_pair_efficiencies": [
                     round(e, 3) for e in headline_effs
                 ],
@@ -491,8 +551,9 @@ def main() -> None:
                     "efficiency = MEDIAN of qualified pairs; a pair "
                     "qualifies unless (a) ratio > 1.05 - physically "
                     "impossible for real scaling, so outcome-evidence of "
-                    "a degraded low side - or (b) either side launched "
-                    f"at a probe < {PAIR_PROBE_FLOOR} of session best - "
+                    "a degraded low side - or (b) either side's window "
+                    "(min of launch and completion probes) "
+                    f"< {PAIR_PROBE_FLOOR} of session best - "
                     "covariate evidence of a contended window, symmetric "
                     "and outcome-blind (a bad window can push the ratio "
                     "either way; both directions observed). Every pair "
@@ -505,6 +566,7 @@ def main() -> None:
                     str(c): [
                         {"events_per_sec": s["events_per_sec"],
                          "probe": _norm(s.get("probe_raw")),
+                         "probe_after": _norm(s.get("probe_raw_after")),
                          **({"error": s["error"],
                              "stderr_tail": s.get("stderr_tail", "")}
                             if s.get("failed") else {})}

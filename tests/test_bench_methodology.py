@@ -47,6 +47,25 @@ def test_pair_effs_min_probe_normalizes_to_session_best():
     assert p["min_probe"] == 0.25
 
 
+def test_pair_effs_min_probe_includes_completion_probes():
+    # the window can collapse mid-sample (r4 run E): the covariate is
+    # the MIN over both sides' launch AND completion probes, so a
+    # clean launch followed by a collapsed window still disqualifies
+    s = {
+        1: [{"events_per_sec": 100.0, "probe_raw": 1.0,
+             "probe_raw_after": 0.4}],
+        4: [{"events_per_sec": 400.0, "probe_raw": 0.9,
+             "probe_raw_after": 0.95}],
+    }
+    (p,) = bench._pair_effs(s, 1, 4, best_raw=1.0)
+    assert p["min_probe"] == 0.4
+    # absent completion probes (older records) fall back to launch-only
+    s[1][0].pop("probe_raw_after")
+    s[4][0].pop("probe_raw_after")
+    (p,) = bench._pair_effs(s, 1, 4, best_raw=1.0)
+    assert p["min_probe"] == 0.9
+
+
 def test_headline_excludes_suspect_and_low_window_pairs():
     pairs = [
         {"eff": 1.2, "min_probe": 0.9},   # suspect: impossible ratio
