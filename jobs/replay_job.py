@@ -82,7 +82,11 @@ def main() -> None:
             for st in stats:
                 lineage.record(st["batch_id"], st)
         print(json.dumps({"mode": "batch", "segments": len(segs),
-                          "final_version": table.snapshot_id()}))
+                          "final_version": table.snapshot_id(),
+                          # proves the submit line's --master governed
+                          # (get_spark defers to spark-submit)
+                          "default_parallelism":
+                              spark.sparkContext.defaultParallelism}))
     else:
         from open_bus_gtfs_etl_spark.streaming.tailer import start_tailer, wal_v2_glob
 

@@ -27,15 +27,29 @@ def get_spark(
     spark-submit own it — every setting here is safe cluster-side too.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master is None:
+    # Under spark-submit the JVM gateway already exists and carries
+    # --master (PYSPARK_GATEWAY_PORT is how PythonRunner hands it to
+    # us): forcing a local[..] default here would OVERRIDE the submit
+    # line and silently run a cluster job local on the driver node.
+    # The local[..] fallback is only for plain `python script.py`.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         master = f"local[{cpus}]" if cpus else "local[*]"
-    if shuffle_partitions is None:
+    # same deference for shuffle partitions: a builder-set value beats
+    # the submit line, so under spark-submit the caller's --conf (or
+    # cluster defaults) must win unless the API caller chose explicitly
+    if shuffle_partitions is None and not under_submit:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
