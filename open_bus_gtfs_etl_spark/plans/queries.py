@@ -2383,6 +2383,181 @@ LIMIT 100
 
 
 # --------------------------------------------------------------------------
+# Round-4 additions: range join, quantile bucketing, grouping sets,
+# edit-distance near-dup
+# --------------------------------------------------------------------------
+
+
+def j10_interval_join(spark, sf_dir):
+    """Point-in-interval range join, bucketed (operators/intervals.py):
+    campaign windows (a 1-in-500 sample of events, each opening a 1-8 h
+    window at its timestamp) joined to every event falling inside the
+    window — no equi key exists between the two sides, only interval
+    containment. Catalyst's native plan for that predicate is
+    BroadcastNestedLoopJoin (O(n·m) and a full-side broadcast);
+    ``bucketed_interval_join`` rewrites it to an exploded-bucket
+    equi-join + residual filter, which shuffles on a long key and
+    scales linearly. 4 h buckets ≈ the median window width: a range
+    replicates to ≤ 3 bucket rows. The oracle states the same join
+    declaratively (DuckDB plans its own IEJoin for it)."""
+    from ..operators.intervals import bucketed_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    ranges = (
+        ev.where(F.col("event_id") % 500 == 0)
+        .select(
+            F.col("event_id").alias("campaign_id"),
+            F.col("ts").alias("lo"),
+            F.expr(
+                "ts + make_interval(0, 0, 0, 0, "
+                "CAST(CAST(event_id / 500 AS BIGINT) % 7 + 1 AS INT), 0, 0)"
+            ).alias("hi"),
+        )
+    )
+    probe = ev.select(F.col("ts").alias("ev_ts"))
+    joined = bucketed_interval_join(
+        probe, ranges, point_col="ev_ts", lo_col="lo", hi_col="hi",
+        bucket_seconds=4 * 3600,
+    )
+    return joined.groupBy("campaign_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+J10_SQL = """
+WITH r AS (
+  SELECT event_id AS campaign_id, ts AS lo,
+         ts + (CAST(event_id / 500 AS BIGINT) % 7 + 1) * INTERVAL '1 hour' AS hi
+  FROM events WHERE event_id % 500 = 0
+)
+SELECT r.campaign_id, COUNT(*) AS n_events
+FROM r JOIN events e ON e.ts >= r.lo AND e.ts < r.hi
+GROUP BY r.campaign_id
+"""
+
+
+def w8_ntile_deciles(spark, sf_dir):
+    """ntile(10) quantile bucketing over a total order — the windowed
+    quantile assignment a curation pipeline uses to split a corpus
+    into equal-count quality tiers. The ORDER BY is made total with the
+    key tie-break (ties would otherwise make ntile nondeterministic).
+    Scale note, stated honestly: a global ntile window plans as a
+    single-partition sort — correct but a deliberate scale smell; the
+    100-TB path is two-phase (sample approximate decile boundaries,
+    then a map-side bucket assignment — t8's stratified-sample shape).
+    This entry exists for the operator's semantics; the aggregation
+    after it reduces the single-partition output immediately."""
+    orders = _t(spark, sf_dir, "orders")
+    deciled = orders.select(
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        "o_totalprice",
+        F.ntile(10)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("sum_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+W8_SQL = """
+SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       MAX(o_totalprice) AS max_price
+FROM (SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+GROUP BY decile
+"""
+
+
+def a11_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form a8's ROLLUP and a10's
+    CUBE are shorthands of: an arbitrary, non-hierarchical set of
+    grouping combinations ((status, priority), (status), ()) in ONE
+    pass. Spark plans all three through the same Expand node + a
+    single aggregation shuffle, so k sets cost one extra projected
+    copy per set, never k scans. Same '(all)' sentinel rule as
+    a8/a10."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_a11")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders_a11
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+A11_SQL = """
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def d7_edit_distance_near_dups(spark, sf_dir):
+    """Prefix-blocked Levenshtein near-dup pairs: block documents on
+    their lowercased 16-char prefix, compare only within blocks, keep
+    pairs whose 80-char-prefix edit distance is ≤ 20. Levenshtein is a
+    JVM built-in on both engines (identical unit-cost
+    insert/delete/substitute semantics), so unlike d3/d4's hash-based
+    candidates the oracle shares the EXACT same blocking expression —
+    the match is contract, not luck. Blocking recall disclosure (same
+    family as d3/d4): a near-dup pair whose edits fall inside the
+    first 16 chars lands in different blocks and is out of scope for
+    both engines by construction. Scale shape: equi-join on the block
+    key, never all-pairs; the O(80×80) DP residual runs only on
+    in-block candidates."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("head"),
+        F.lower(F.substring("text", 1, 16)).alias("blk"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("head").alias("head_a"),
+        "blk",
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("head").alias("head_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    return (
+        a.join(b, (a.blk == b.blk_b) & (a.doc_a < b.doc_b))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("head_a", "head_b").cast("bigint").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 20)
+    )
+
+
+D7_SQL = """
+WITH b AS (
+  SELECT doc_id, substring(text, 1, 80) AS head,
+         lower(substring(text, 1, 16)) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(levenshtein(a.head, c.head) AS BIGINT) AS edit_dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.head, c.head) <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2452,6 +2627,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c5_domain_rebalance": c5_domain_rebalance,
     "v2_sequence_packing": v2_sequence_packing,
     "t9_tfidf": t9_tfidf,
+    "j10_interval_join": j10_interval_join,
+    "w8_ntile_deciles": w8_ntile_deciles,
+    "a11_grouping_sets": a11_grouping_sets,
+    "d7_edit_distance_near_dups": d7_edit_distance_near_dups,
 }
 
 ORACLES: dict[str, str] = {
@@ -2520,4 +2699,8 @@ ORACLES: dict[str, str] = {
     "c5_domain_rebalance": C5_SQL,
     "v2_sequence_packing": V2_SQL,
     "t9_tfidf": T9_SQL,
+    "j10_interval_join": J10_SQL,
+    "w8_ntile_deciles": W8_SQL,
+    "a11_grouping_sets": A11_SQL,
+    "d7_edit_distance_near_dups": D7_SQL,
 }
