@@ -95,3 +95,67 @@ def bucketed_interval_join(
         r, on=(p[_BKT] == r[_BKT]) & contained, how="left"
     ).drop(_BKT)
     return joined
+
+
+def bucketed_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join: every (left, right) pair whose
+    half-open intervals [left_lo, left_hi) and [right_lo, right_hi)
+    intersect — the general form of ``bucketed_interval_join`` (a point
+    is a zero-width interval). Catalyst's native plan for a pure
+    overlap predicate is the same O(n·m) nested loop; here BOTH sides
+    explode to the bucket grid, the join is an equi-join on the bucket
+    id, and the residual re-checks exact overlap.
+
+    Pair dedup without a shuffle: two overlapping intervals share every
+    bucket their intersection spans, so a naive bucket join emits the
+    pair once per shared bucket. Instead of ``distinct()`` (a second
+    full shuffle of the joined output), each pair is OWNED by exactly
+    one bucket — the first bucket of the intersection,
+    ``floor(greatest(left_lo, right_lo) / W)`` — and only the owning
+    bucket's row survives. Coverage stays exact: the intersection is
+    non-empty for a qualifying pair, so its first bucket is always a
+    bucket both sides exploded to.
+
+    Cost: O(|left|·spans_l + |right|·spans_r) exploded rows and one
+    equi-join shuffle on a long key; replication per row is bounded by
+    width/bucket_seconds + 1 (choose ``bucket_seconds`` ≈ the typical
+    interval width).
+    """
+    overlap_cols = set(left.columns) & set(right.columns)
+    if overlap_cols:
+        raise ValueError(
+            f"left/right column names must be disjoint, both have: {sorted(overlap_cols)}"
+        )
+
+    def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            _BKT,
+            F.explode(
+                F.sequence(
+                    F.floor(_epoch(lo) / bucket_seconds),
+                    F.floor(_epoch(hi) / bucket_seconds),
+                )
+            ),
+        )
+
+    l = _explode(left, left_lo, left_hi)
+    r = _explode(right, right_lo, right_hi)
+    overlaps = (F.col(left_lo) < F.col(right_hi)) & (
+        F.col(right_lo) < F.col(left_hi)
+    )
+    owner = F.floor(
+        F.greatest(_epoch(left_lo), _epoch(right_lo)) / bucket_seconds
+    )
+    return (
+        l.join(r, on=_BKT, how="inner")
+        .where(overlaps & (F.col(_BKT) == owner))
+        .drop(_BKT)
+    )

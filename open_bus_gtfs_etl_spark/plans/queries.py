@@ -2557,6 +2557,205 @@ WHERE levenshtein(a.head, c.head) <= 20
 """
 
 
+def j11_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join, bucketed
+    (operators/intervals.py:bucketed_overlap_join): maintenance windows
+    (1-in-131 sample of events, 3-9 h) joined to every session window
+    (1-in-89 sample, 3-15 h) they intersect — the general form of j10's
+    point-in-interval containment, and the classic conflict-detection /
+    co-occurrence shape. Catalyst's native plan is a nested loop; the
+    operator explodes BOTH sides onto a 6 h bucket grid, equi-joins on
+    the bucket id, and dedups pair multiplicity with the
+    first-overlap-bucket ownership rule instead of a distinct()
+    shuffle. The oracle states the same overlap declaratively."""
+    from ..operators.intervals import bucketed_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.where(F.col("event_id") % 89 == 0).select(
+        F.col("event_id").alias("session_id"),
+        F.col("ts").alias("s_lo"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, "
+            "CAST((CAST(event_id / 89 AS BIGINT) % 5 + 1) * 3 AS INT), 0, 0)"
+        ).alias("s_hi"),
+    )
+    outages = ev.where(F.col("event_id") % 131 == 0).select(
+        F.col("event_id").alias("outage_id"),
+        F.col("ts").alias("o_lo"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, "
+            "CAST((CAST(event_id / 131 AS BIGINT) % 3 + 1) * 3 AS INT), 0, 0)"
+        ).alias("o_hi"),
+    )
+    pairs = bucketed_overlap_join(
+        sessions, outages,
+        left_lo="s_lo", left_hi="s_hi", right_lo="o_lo", right_hi="o_hi",
+        bucket_seconds=6 * 3600,
+    )
+    return pairs.groupBy("outage_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.min("session_id").alias("first_session"),
+    )
+
+
+J11_SQL = """
+WITH s AS (
+  SELECT event_id AS session_id, ts AS s_lo,
+         ts + (CAST(event_id / 89 AS BIGINT) % 5 + 1) * INTERVAL '3 hour' AS s_hi
+  FROM events WHERE event_id % 89 = 0
+), o AS (
+  SELECT event_id AS outage_id, ts AS o_lo,
+         ts + (CAST(event_id / 131 AS BIGINT) % 3 + 1) * INTERVAL '3 hour' AS o_hi
+  FROM events WHERE event_id % 131 = 0
+)
+SELECT o.outage_id, COUNT(*) AS n_sessions, MIN(s.session_id) AS first_session
+FROM s JOIN o ON s.s_lo < o.o_hi AND o.o_lo < s.s_hi
+GROUP BY o.outage_id
+"""
+
+
+def s4_late_event_accounting(spark, sf_dir):
+    """Out-of-order-arrival accounting — the monitoring query a CDC
+    ingest runs over its own feed (the engine's ooo_rate analogue,
+    genlog.py): in per-user ARRIVAL order (event_id is the arrival
+    sequence), an event is late when its event time sits below the
+    running high-water mark of everything that arrived before it.
+    Exactly the watermark bookkeeping Structured Streaming keeps
+    internally, expressed as one window pass + one aggregation.
+
+    100-TB shape: a single shuffle on user_id feeds both the window
+    and the groupBy (same clustering, Catalyst reuses the exchange);
+    the running max is an UnboundedPreceding frame — O(1) per row,
+    no per-event re-sort."""
+    ev = _t(spark, sf_dir, "events")
+    hwm = F.max("ts").over(
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        hwm.alias("hwm"),
+    )
+    # TIMESTAMP_NTZ has no direct long cast — reinterpret through
+    # TIMESTAMP first (session TZ pinned UTC, so identity)
+    late_sec = (
+        F.col("hwm").cast("timestamp").cast("long")
+        - F.col("ts").cast("timestamp").cast("long")
+    )
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("ts") < F.col("hwm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max(F.when(F.col("ts") < F.col("hwm"), late_sec))
+        .cast("bigint")
+        .alias("max_late_sec"),
+    )
+
+
+S4_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ts < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(MAX(CASE WHEN ts < hwm
+                     THEN date_diff('second', ts, hwm) END) AS BIGINT)
+           AS max_late_sec
+FROM marked
+GROUP BY user_id
+"""
+
+
+def t10_type_token_ratio(spark, sf_dir):
+    """Lexical-diversity scoring: per-document type count, hapax count
+    (tokens occurring exactly once), and type-token ratio — the cheap
+    repetitiveness signal a corpus-quality pass computes next to t5's
+    repetition ratio. Two-level aggregation like t9: explode →
+    per-(doc, token) count → per-doc rollup, both map-side combined;
+    the explode never materializes. TTR divides two small exact
+    integers (identical IEEE result in both engines, module
+    docstring)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    per_tok = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(
+            F.count("*").cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("ttr"),
+    )
+
+
+T10_SQL = """
+WITH per_tok AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS ttr
+FROM per_tok
+GROUP BY doc_id
+"""
+
+
+def t11_bigram_topk(spark, sf_dir):
+    """Corpus-wide top-100 word bigrams — the n-gram census used for
+    contamination screens and BPE-adjacent vocabulary work (v1 mines
+    the single best pair; this ranks the distribution's head). The
+    bigram array is built with an expression-only transform over the
+    token array (no UDF, no self-join on position), exploded straight
+    into a map-side-combined count; top-k is TakeOrdered with the
+    bigram tie-break, never a global sort.
+
+    The size()<2 guard matters: Spark's sequence(2, size) generates a
+    DESCENDING [2,1] when size=1 (auto step -1), which would fabricate
+    a reversed pseudo-bigram instead of an empty list."""
+    d = _t(spark, sf_dir, "documents")
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+                "element_at(split(text, ' '), i + 1))) END"
+            )
+        ).alias("bigram")
+    )
+    counted = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counted.orderBy(F.col("n").desc(), "bigram").limit(100)
+
+
+T11_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT unnest(list_transform(range(2, len(t) + 1),
+                               i -> t[i - 1] || ' ' || t[i])) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2631,6 +2830,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w8_ntile_deciles": w8_ntile_deciles,
     "a11_grouping_sets": a11_grouping_sets,
     "d7_edit_distance_near_dups": d7_edit_distance_near_dups,
+    "j11_interval_overlap": j11_interval_overlap,
+    "s4_late_event_accounting": s4_late_event_accounting,
+    "t10_type_token_ratio": t10_type_token_ratio,
+    "t11_bigram_topk": t11_bigram_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2703,4 +2906,8 @@ ORACLES: dict[str, str] = {
     "w8_ntile_deciles": W8_SQL,
     "a11_grouping_sets": A11_SQL,
     "d7_edit_distance_near_dups": D7_SQL,
+    "j11_interval_overlap": J11_SQL,
+    "s4_late_event_accounting": S4_SQL,
+    "t10_type_token_ratio": T10_SQL,
+    "t11_bigram_topk": T11_SQL,
 }

@@ -1,6 +1,8 @@
-"""bucketed_interval_join: equivalence to the naive nested-loop plan,
-left-lookup miss⇒null shape, and the plan guarantee that motivates the
-operator (equi-join on the bucket key, not BroadcastNestedLoopJoin).
+"""bucketed_interval_join / bucketed_overlap_join: equivalence to the
+naive nested-loop plan, left-lookup miss⇒null shape, pair-dedup
+exactness of the overlap ownership rule, and the plan guarantee that
+motivates the operators (equi-join on the bucket key, not
+BroadcastNestedLoopJoin).
 """
 
 from __future__ import annotations
@@ -10,7 +12,10 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from open_bus_gtfs_etl_spark.operators.intervals import bucketed_interval_join
+from open_bus_gtfs_etl_spark.operators.intervals import (
+    bucketed_interval_join,
+    bucketed_overlap_join,
+)
 
 
 def _formatted(df) -> str:
@@ -108,4 +113,102 @@ def test_disjoint_column_names_required(spark):
         bucketed_interval_join(
             probe, ranges.withColumnRenamed("rid", "pid"),
             "pts", "lo", "hi", 3600,
+        )
+
+
+# ---------------------------------------------------------------------------
+# interval × interval overlap
+# ---------------------------------------------------------------------------
+
+
+def _mk_intervals(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    # left: dense, mixed widths (minutes to days), sub-second bounds
+    left = spark.createDataFrame(
+        [
+            (
+                i,
+                t0 + dt.timedelta(minutes=37 * i, microseconds=100_000 * (i % 5)),
+                t0 + dt.timedelta(minutes=37 * i + 11 + 90 * (i % 7)),
+            )
+            for i in range(120)
+        ],
+        "lid long, a_lo timestamp, a_hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (
+                j,
+                t0 + dt.timedelta(minutes=53 * j),
+                t0 + dt.timedelta(minutes=53 * j + 25 + 200 * (j % 3)),
+            )
+            for j in range(80)
+        ]
+        # plus a multi-day interval that overlaps MANY left rows across
+        # many buckets (the dedup stress case) and a zero-width one
+        + [
+            (900, t0 + dt.timedelta(hours=2), t0 + dt.timedelta(days=2)),
+            (901, t0 + dt.timedelta(hours=5), t0 + dt.timedelta(hours=5)),
+        ],
+        "rjd long, b_lo timestamp, b_hi timestamp",
+    )
+    return left, right
+
+
+def _naive_overlap(left, right):
+    return left.crossJoin(right).where(
+        (F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi"))
+    )
+
+
+@pytest.mark.parametrize("bucket_seconds", [600, 3600, 12 * 3600])
+def test_overlap_matches_nested_loop(spark, bucket_seconds):
+    """Exactly ONE output row per overlapping pair at any bucket width —
+    the ownership rule dedups multi-bucket pairs without a distinct()."""
+    left, right = _mk_intervals(spark)
+    got = (
+        bucketed_overlap_join(
+            left, right, "a_lo", "a_hi", "b_lo", "b_hi", bucket_seconds
+        )
+        .select("lid", "rjd")
+        .toPandas()
+        .sort_values(["lid", "rjd"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _naive_overlap(left, right)
+        .select("lid", "rjd")
+        .toPandas()
+        .sort_values(["lid", "rjd"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got) > 0
+    # no duplicated pairs
+    assert not got.duplicated().any()
+    # the multi-day interval overlapped many left rows (dedup stressed)
+    assert (want["rjd"] == 900).sum() > 30
+
+
+def test_overlap_plan_is_equi_join(spark):
+    left, right = _mk_intervals(spark)
+    plan = _formatted(
+        bucketed_overlap_join(left, right, "a_lo", "a_hi", "b_lo", "b_hi", 3600)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+    naive_plan = _formatted(_naive_overlap(left, right))
+    assert (
+        "BroadcastNestedLoopJoin" in naive_plan
+        or "CartesianProduct" in naive_plan
+    )
+
+
+def test_overlap_disjoint_column_names_required(spark):
+    left, right = _mk_intervals(spark)
+    with pytest.raises(ValueError, match="disjoint"):
+        bucketed_overlap_join(
+            left, right.withColumnRenamed("rjd", "lid"),
+            "a_lo", "a_hi", "b_lo", "b_hi", 3600,
         )

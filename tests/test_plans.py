@@ -204,3 +204,45 @@ def test_tfidf_take_ordered_and_partial_agg(spark):
     plan = _plan(t9_tfidf(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_late_event_accounting_single_exchange(spark):
+    """s4: HashPartitioning(user_id) from the running-max window
+    satisfies the following groupBy(user_id) (subset rule) — one
+    exchange total, aggregation map-side combined."""
+    from open_bus_gtfs_etl_spark.plans.queries import s4_late_event_accounting
+
+    plan = _plan(s4_late_event_accounting(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_ttr_two_level_agg_partial(spark):
+    """t10: explode pipelines into the (doc,token) partial agg — two
+    shuffles total ((doc,token) then doc), both map-side combined,
+    never a materialized token table."""
+    from open_bus_gtfs_etl_spark.plans.queries import t10_type_token_ratio
+
+    plan = _plan(t10_type_token_ratio(spark, SF))
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan
+
+
+def test_bigram_topk_take_ordered(spark):
+    """t11: top-100 must be TakeOrdered (never a global sort over the
+    bigram vocabulary); the count is map-side combined."""
+    from open_bus_gtfs_etl_spark.plans.queries import t11_bigram_topk
+
+    plan = _plan(t11_bigram_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_interval_overlap_no_nested_loop(spark):
+    """j11 (catalog-level): the overlap join plans as an equi join on
+    the bucket key, not Catalyst's native nested loop."""
+    from open_bus_gtfs_etl_spark.plans.queries import j11_interval_overlap
+
+    plan = _plan(j11_interval_overlap(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
