@@ -2756,6 +2756,75 @@ LIMIT 100
 """
 
 
+def d8_dup_passage_fraction(spark, sf_dir):
+    """Cross-corpus duplicated-passage fraction — the sub-document
+    dedup signal (RefinedWeb/CCNet's duplicated-n-gram-fraction
+    family): chunk each document's token stream into fixed 16-token
+    passages (c2's chunking shape), count each passage corpus-wide,
+    and report per document the fraction of its passages that occur in
+    more than one document. t5 measures repetition WITHIN a document;
+    this measures duplication ACROSS the corpus — the signal that
+    catches boilerplate and template spam exact dedup (d1, whole-doc
+    hash) misses.
+
+    Scale shape: passages shuffle as md5 digests (32-byte fixed keys,
+    never the passage text — both engines compute identical md5 hex so
+    the compaction is contract, not a recall trade); corpus counts are
+    map-side combined; the count⋈passage join is an equi-join on the
+    digest; the final per-doc rollup reuses nothing exotic. Passages
+    counted per DISTINCT containing doc (a passage repeated inside one
+    doc only is t5's business, not d8's)."""
+    d = _t(spark, sf_dir, "documents")
+    passages = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 16.0) "
+                "AS INT) - 1), "
+                "i -> md5(concat_ws(' ', slice(split(text, ' '), i * 16 + 1, 16))))"
+            )
+        ).alias("psg"),
+    )
+    # one row per (passage, containing doc): in-doc repeats collapse
+    per_doc_psg = passages.groupBy("psg", "doc_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).drop("_n")
+    corpus = per_doc_psg.groupBy("psg").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    marked = per_doc_psg.join(corpus, "psg")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+        F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+        F.round(
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+D8_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+psgs AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(t, i * 16 + 1, i * 16 + 16), ' ')) AS psg
+  FROM toks, unnest(range(0, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS u(i)
+), corpus AS (
+  SELECT psg, COUNT(*) AS n_docs_with FROM psgs GROUP BY psg
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN c.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(SUM(CASE WHEN c.n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM psgs p JOIN corpus c USING (psg)
+GROUP BY p.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2834,6 +2903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s4_late_event_accounting": s4_late_event_accounting,
     "t10_type_token_ratio": t10_type_token_ratio,
     "t11_bigram_topk": t11_bigram_topk,
+    "d8_dup_passage_fraction": d8_dup_passage_fraction,
 }
 
 ORACLES: dict[str, str] = {
@@ -2910,4 +2980,5 @@ ORACLES: dict[str, str] = {
     "s4_late_event_accounting": S4_SQL,
     "t10_type_token_ratio": T10_SQL,
     "t11_bigram_topk": T11_SQL,
+    "d8_dup_passage_fraction": D8_SQL,
 }

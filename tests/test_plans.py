@@ -246,3 +246,16 @@ def test_interval_overlap_no_nested_loop(spark):
     plan = _plan(j11_interval_overlap(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_passage_fraction_digest_join(spark):
+    """d8: the corpus-count join keys on md5 digests, aggregations are
+    map-side combined, and no nested loop appears — passages shuffle
+    as fixed-width digests, never as text."""
+    from open_bus_gtfs_etl_spark.plans.queries import d8_dup_passage_fraction
+
+    plan = _plan(d8_dup_passage_fraction(spark, SF))
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan
