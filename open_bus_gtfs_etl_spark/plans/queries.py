@@ -2825,6 +2825,75 @@ GROUP BY p.doc_id
 """
 
 
+def w9_locf_gap_fill(spark, sf_dir):
+    """Calendar-spine densification + last-observation-carried-forward
+    — the time-series repair pass a metrics/feature pipeline runs over
+    an irregular event feed: build each user's full daily spine between
+    their first and last active day (F12's sequence+explode, per key),
+    left-join the observed daily aggregate, and fill gaps with the most
+    recent prior observation via last(ignorenulls) over an unbounded
+    preceding frame.
+
+    100-TB shape: the spine explode is per-key-bounded (span days, no
+    cross joins); the observed-day aggregate, the spine join, and the
+    LOCF window all cluster on user_id, so Catalyst reuses one
+    exchange for the join and window stages. The daily mean divides a
+    DECIMAL sum by an exact count and rounds at the boundary (shared-
+    double rule)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                / F.count(F.lit(1))
+            ).cast("double"),
+            6,
+        ).alias("day_value")
+    )
+    spine = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    locf = F.last("day_value", ignorenulls=True).over(
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # day leaves as TIMESTAMP on both sides: a raw DATE crosses the
+    # two engines' pandas paths as date-object vs datetime64 and the
+    # driver hash sees different isoformats (f3 formats for the same
+    # reason)
+    return joined.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        (~F.col("day_value").isNull()).alias("observed"),
+        locf.alias("filled_value"),
+    )
+
+
+W9_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE), 6)
+             AS day_value
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL '1 day'))::DATE AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1)
+)
+SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+       d.day_value IS NOT NULL AS observed,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2904,6 +2973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t10_type_token_ratio": t10_type_token_ratio,
     "t11_bigram_topk": t11_bigram_topk,
     "d8_dup_passage_fraction": d8_dup_passage_fraction,
+    "w9_locf_gap_fill": w9_locf_gap_fill,
 }
 
 ORACLES: dict[str, str] = {
@@ -2981,4 +3051,5 @@ ORACLES: dict[str, str] = {
     "t10_type_token_ratio": T10_SQL,
     "t11_bigram_topk": T11_SQL,
     "d8_dup_passage_fraction": D8_SQL,
+    "w9_locf_gap_fill": W9_SQL,
 }

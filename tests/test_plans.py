@@ -259,3 +259,14 @@ def test_dup_passage_fraction_digest_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "md5" in plan
+
+
+def test_locf_gap_fill_no_extra_window_exchange(spark):
+    """w9: two hash shuffles (daily agg, spine bounds) + one broadcast
+    for the spine join; the LOCF window reuses the spine's user_id
+    partitioning rather than adding a fourth exchange."""
+    from open_bus_gtfs_etl_spark.plans.queries import w9_locf_gap_fill
+
+    plan = _plan(w9_locf_gap_fill(spark, SF))
+    assert plan.count("Exchange") <= 3
+    assert "BroadcastNestedLoopJoin" not in plan
