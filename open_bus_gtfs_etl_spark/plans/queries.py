@@ -2894,6 +2894,69 @@ FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
 
 
+def j12_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): two event
+    samples joined on a NULLABLE extracted key, where the null group
+    must match the null group — the semantics a plain equi-join
+    silently drops (NULL = NULL is never true) and the reference's
+    dict-lookup joins get implicitly (a None key IS a dict key,
+    load_stop_times_to_db.py:48-58's .get chains). The F7/'None'
+    normalization family makes this a real CDC concern: normalized
+    keys are legitimately null and must still pair.
+
+    Scale note: Spark plans eqNullSafe as a HASH join (the key hashes
+    as a (isnull, value) pair), so null-safety costs nothing — the
+    plan test pins the absence of a nested loop. The null bucket is a
+    designed skew hazard at 100 TB (every null row lands in ONE hash
+    group on both sides — a null-heavy feed wants the null group
+    pre-split or handled as a union branch); here it is one group by
+    construction."""
+    ev = _t(spark, sf_dir, "events")
+    k0 = F.get_json_object("props", "$.k").cast("int").cast("long")
+    # the testdata's extracted key is never null — inject nulls
+    # DETERMINISTICALLY (k divisible by 10 ⇒ null), mirrored verbatim
+    # in the oracle, so the null-matches-null branch actually runs
+    k = F.when(k0 % 10 != 0, k0)
+    left = ev.where(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("l_id"), k.alias("l_k")
+    )
+    right = (
+        ev.where(F.col("event_id") % 11 == 0)
+        .select(k.alias("r_k"))
+        .groupBy("r_k")
+        .agg(F.count(F.lit(1)).alias("r_n"))
+    )
+    joined = left.join(right, left.l_k.eqNullSafe(right.r_k), "inner")
+    return joined.groupBy(
+        F.coalesce(F.col("l_k"), F.lit(-1)).alias("k_group")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("r_n").cast("bigint").alias("sum_right_mult"),
+    )
+
+
+J12_SQL = """
+WITH k0 AS (
+  SELECT event_id,
+         CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT) AS BIGINT) AS k0
+  FROM events
+), kk AS (
+  SELECT event_id, CASE WHEN k0 % 10 != 0 THEN k0 END AS k FROM k0
+), l AS (
+  SELECT event_id AS l_id, k AS l_k FROM kk WHERE event_id % 7 = 0
+), r AS (
+  SELECT k AS r_k, COUNT(*) AS r_n
+  FROM kk WHERE event_id % 11 = 0
+  GROUP BY 1
+)
+SELECT coalesce(l.l_k, -1) AS k_group,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(r.r_n) AS BIGINT) AS sum_right_mult
+FROM l JOIN r ON l.l_k IS NOT DISTINCT FROM r.r_k
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2974,6 +3037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t11_bigram_topk": t11_bigram_topk,
     "d8_dup_passage_fraction": d8_dup_passage_fraction,
     "w9_locf_gap_fill": w9_locf_gap_fill,
+    "j12_null_safe_join": j12_null_safe_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -3052,4 +3116,5 @@ ORACLES: dict[str, str] = {
     "t11_bigram_topk": T11_SQL,
     "d8_dup_passage_fraction": D8_SQL,
     "w9_locf_gap_fill": W9_SQL,
+    "j12_null_safe_join": J12_SQL,
 }

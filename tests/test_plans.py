@@ -270,3 +270,14 @@ def test_locf_gap_fill_no_extra_window_exchange(spark):
     plan = _plan(w9_locf_gap_fill(spark, SF))
     assert plan.count("Exchange") <= 3
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """j12: eqNullSafe must plan as a hash/sort-merge equi join (the
+    key hashes as an (isnull, value) pair), never a nested loop."""
+    from open_bus_gtfs_etl_spark.plans.queries import j12_null_safe_join
+
+    plan = _plan(j12_null_safe_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
