@@ -2957,6 +2957,152 @@ GROUP BY 1
 """
 
 
+def w10_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user. The canonical island trick — day minus row_number (in days)
+    is constant within a consecutive run — turns streak detection into
+    two window passes + a rollup with NO self-join or recursion (w3
+    detects gaps over raw timestamps; this groups the runs themselves).
+
+    100-TB shape: distinct-days, the island window, and both rollups
+    all cluster on user_id, so the plan is one shuffle on (user_id,
+    day) for the distinct + windows that reuse user_id partitioning;
+    streak length never needs the raw events again."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    islands = days.select(
+        "user_id", "day", F.date_sub(F.col("day"), rn).alias("island")
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+    )
+
+
+W10_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), islands AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY user_id
+"""
+
+
+def m5_changelog_compaction(spark, sf_dir):
+    """Net-effect changelog compaction — the Debezium/Kafka-compaction
+    shape a CDC relay applies before handing a batch downstream: per
+    key, collapse the event run into ONE net operation determined by
+    the first and last events (insert→…→delete ⇒ nothing happened;
+    insert→…→update ⇒ net insert with the final payload;
+    update→…→delete ⇒ net delete; update→…→update ⇒ net update).
+    Complements m1 (which materializes final STATE): m5 emits the
+    minimal downstream CHANGE set. Op classes derive from event_type
+    ('purchase' ⇒ insert, 'error' ⇒ delete, else update) on the same
+    (user_id, turn) keys as m1.
+
+    100-TB shape: one shuffle — first and last are taken in a single
+    window pass (rn from both ends over one ordering), and the rollup
+    reuses the same (user_id, turn)-compatible clustering. 'none' rows
+    stay in the output with their event counts so compaction coverage
+    is visible (a silent drop would hide feed bugs)."""
+    ev = _t(spark, sf_dir, "events")
+    turn = F.pmod(F.get_json_object("props", "$.k").cast("int"), F.lit(16)).alias("turn")
+    op = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "purchase", "insert")
+        .otherwise("update")
+        .alias("op")
+    )
+    src = ev.select("user_id", turn, op, "ts", "event_id", "value")
+    w_asc = W.partitionBy("user_id", "turn").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("user_id", "turn").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = src.select(
+        "user_id",
+        "turn",
+        "op",
+        "value",
+        F.row_number().over(w_asc).alias("rn_first"),
+        F.row_number().over(w_desc).alias("rn_last"),
+    )
+    per_key = marked.groupBy("user_id", "turn").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("op"))).alias("first_op"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("op"))).alias("last_op"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("last_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    net = (
+        F.when((F.col("first_op") == "insert") & (F.col("last_op") == "delete"), "none")
+        .when(F.col("last_op") == "delete", "delete")
+        .when(F.col("first_op") == "insert", "insert")
+        .otherwise("update")
+    )
+    return per_key.select(
+        "user_id",
+        "turn",
+        net.alias("net_op"),
+        F.when(net != "delete", F.col("last_value")).alias("net_value"),
+        "n_events",
+    )
+
+
+M5_SQL = """
+WITH src AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INT) % 16 AS turn,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'insert'
+              ELSE 'update' END AS op,
+         ts, event_id, value
+  FROM events
+), marked AS (
+  SELECT user_id, turn, op, value,
+         row_number() OVER (PARTITION BY user_id, turn
+                            ORDER BY ts, event_id) AS rn_first,
+         row_number() OVER (PARTITION BY user_id, turn
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM src
+), per_key AS (
+  SELECT user_id, turn,
+         MAX(CASE WHEN rn_first = 1 THEN op END) AS first_op,
+         MAX(CASE WHEN rn_last = 1 THEN op END) AS last_op,
+         MAX(CASE WHEN rn_last = 1 THEN value END) AS last_value,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM marked GROUP BY 1, 2
+)
+, netted AS (
+  SELECT user_id, turn,
+         CASE WHEN first_op = 'insert' AND last_op = 'delete' THEN 'none'
+              WHEN last_op = 'delete' THEN 'delete'
+              WHEN first_op = 'insert' THEN 'insert'
+              ELSE 'update' END AS net_op,
+         last_value, n_events
+  FROM per_key
+)
+SELECT user_id, turn, net_op,
+       CASE WHEN net_op <> 'delete' THEN last_value END AS net_value,
+       n_events
+FROM netted
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3038,6 +3184,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d8_dup_passage_fraction": d8_dup_passage_fraction,
     "w9_locf_gap_fill": w9_locf_gap_fill,
     "j12_null_safe_join": j12_null_safe_join,
+    "w10_activity_streaks": w10_activity_streaks,
+    "m5_changelog_compaction": m5_changelog_compaction,
 }
 
 ORACLES: dict[str, str] = {
@@ -3117,4 +3265,6 @@ ORACLES: dict[str, str] = {
     "d8_dup_passage_fraction": D8_SQL,
     "w9_locf_gap_fill": W9_SQL,
     "j12_null_safe_join": J12_SQL,
+    "w10_activity_streaks": W10_SQL,
+    "m5_changelog_compaction": M5_SQL,
 }

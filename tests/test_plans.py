@@ -281,3 +281,24 @@ def test_null_safe_join_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_streaks_island_plan(spark):
+    """w10: distinct shuffles on (user_id, day), the island window and
+    both rollups reuse user_id-compatible clustering — two exchanges
+    total, no self-join."""
+    from open_bus_gtfs_etl_spark.plans.queries import w10_activity_streaks
+
+    plan = _plan(w10_activity_streaks(spark, SF))
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_changelog_compaction_single_shuffle(spark):
+    """m5: the ascending and descending rn windows share one
+    (user_id, turn) exchange and the rollup reuses it — one shuffle
+    for first+last+rollup."""
+    from open_bus_gtfs_etl_spark.plans.queries import m5_changelog_compaction
+
+    plan = _plan(m5_changelog_compaction(spark, SF))
+    assert plan.count("Exchange") == 1
