@@ -272,3 +272,65 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Batch kNN GRAPH: top-``k`` cosine neighbors for EVERY vector —
+    the all-corpus form of ``ivf_topk``'s single-query search, and the
+    workhorse behind embedding-based dedup clustering and
+    diversity-aware sampling. Same IVF multi-probe candidate
+    restriction as ``embedding_near_dup_pairs`` (shared-bucket
+    equi-join, ~n_probe²·n²/c work instead of the n² all-pairs), then
+    per-source top-k by exact cosine via a window rank over src.
+
+    The candidate restriction is contract, not hidden recall loss: the
+    oracle applies the identical centroid literals and top-n
+    assignment, so a neighbor sharing NO probed bucket is out of scope
+    for both engines. Ties break on neighbor id; cosine is rounded
+    only at the output boundary (ranking compares the engines'
+    identical unrounded doubles).
+
+    Scale shape: one equi-join shuffle on cid, a distinct to collapse
+    double-bucket candidate pairs, one window shuffle on src — never a
+    global sort, never all-pairs.
+    """
+    from pyspark.sql import Window as W
+
+    cents = ivf_centroids(dim, n_centroids=n_centroids)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("v"),
+        F.explode(assign_centroids_topn(vec_col, cents, n_probe)).alias("cid"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            cos.alias("_cos"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
+    )
+    return (
+        cand.withColumn("rank", rn.cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )

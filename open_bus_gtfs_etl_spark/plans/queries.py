@@ -3103,6 +3103,71 @@ FROM netted
 """
 
 
+def e4_knn_graph(spark, sf_dir):
+    """Batch kNN graph (operators/similarity.py:knn_graph): top-3
+    cosine neighbors for EVERY vector under the same IVF multi-probe
+    candidate contract as d6/e2 — shared-bucket equi-join candidates,
+    exact-cosine per-source top-k via a window rank, centroid literals
+    and top-2 assignment shared verbatim with the oracle. e1/e2 answer
+    one query vector; e4 is the all-corpus graph embedding dedup and
+    diversity sampling consume."""
+    from ..operators import similarity
+
+    em = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(em, k=3, n_probe=2)
+
+
+def _build_e4_sql(
+    dim: int = 64, n_centroids: int = 8, k: int = 3, n_probe: int = 2
+) -> str:
+    from ..operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids=n_centroids)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    cos = (
+        "list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))"
+        " / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(b.v, x -> x * x))))"
+    )
+    return f"""
+WITH cents(cid, c) AS (VALUES
+    {cent_rows}
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum(list_transform(generate_series(1, len(v)),
+                             i -> v[i] * c[i])) DESC, cid
+         ) AS rn
+  FROM emb CROSS JOIN cents
+),
+asg AS (SELECT vec_id, v, cid FROM assigned WHERE rn <= {n_probe}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst, {cos} AS _cos
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst, _cos,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY _cos DESC, dst)
+              AS BIGINT) AS rank
+  FROM cand
+)
+SELECT src, dst, rank, round(_cos, 6) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+E4_SQL = _build_e4_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3186,6 +3251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j12_null_safe_join": j12_null_safe_join,
     "w10_activity_streaks": w10_activity_streaks,
     "m5_changelog_compaction": m5_changelog_compaction,
+    "e4_knn_graph": e4_knn_graph,
 }
 
 ORACLES: dict[str, str] = {
@@ -3267,4 +3333,5 @@ ORACLES: dict[str, str] = {
     "j12_null_safe_join": J12_SQL,
     "w10_activity_streaks": W10_SQL,
     "m5_changelog_compaction": M5_SQL,
+    "e4_knn_graph": E4_SQL,
 }
