@@ -3168,6 +3168,160 @@ FROM ranked WHERE rank <= {k}
 E4_SQL = _build_e4_sql()
 
 
+def a12_stats_moments(spark, sf_dir):
+    """Statistical moment aggregates (stddev, Pearson correlation) per
+    group — the moments a curation pipeline reads before setting
+    quality thresholds. Determinism: built-in stddev/corr stream a
+    running-update formula whose float result is summation-order-
+    dependent (not reproducible across engines OR across Spark
+    retries), so both sides instead accumulate EXACT decimal power
+    sums (Σx, Σx², Σy, Σy², Σxy — order-independent by exactness)
+    in one pass and evaluate the identical closed-form double
+    expression on top. Scale shape: one partial-aggregated shuffle of
+    six decimals per group, no second scan, no window."""
+    li = _t(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,4)")
+    pdc = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(qd).alias("_sq"),
+        F.sum(qd * qd).alias("_sqq"),
+        F.sum(pdc).alias("_sp"),
+        F.sum(pdc * pdc).alias("_spp"),
+        F.sum(qd * pdc).alias("_sqp"),
+    )
+    n = F.col("n_rows").cast("double")
+    sq, sqq = F.col("_sq").cast("double"), F.col("_sqq").cast("double")
+    sp, spp = F.col("_sp").cast("double"), F.col("_spp").cast("double")
+    sqp = F.col("_sqp").cast("double")
+    stddev_qty = F.sqrt((sqq - sq * sq / n) / (n - F.lit(1.0)))
+    corr = (n * sqp - sq * sp) / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(stddev_qty, 6).alias("stddev_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+A12_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       round(sqrt((sqq - sq * sq / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0)), 6) AS stddev_qty,
+       round((CAST(n_rows AS DOUBLE) * sqp - sq * sp)
+             / sqrt((CAST(n_rows AS DOUBLE) * sqq - sq * sq)
+                    * (CAST(n_rows AS DOUBLE) * spp - sp * sp)), 6) AS corr_qty_price
+FROM sums
+"""
+
+
+def u2_unpivot(spark, sf_dir):
+    """Wide→long reshape (UNPIVOT / stack) of a per-group metric row
+    into (group, metric, value) tuples — the long form metric stores
+    and plotting layers consume. Spark's DataFrame.unpivot plans an
+    Expand node (k projected copies in one pass over the aggregate,
+    which is |groups| rows — never a re-scan of the fact table); the
+    oracle spells the same reshape as UNION ALL over a CTE."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["n_rows", "sum_qty", "sum_price"], "metric", "value"
+    )
+
+
+U2_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+UNION ALL SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+"""
+
+
+def t12_length_histogram(spark, sf_dir):
+    """Fixed-width histogram of document lengths — the first profile a
+    corpus curation pass draws (truncation cliffs, boilerplate spikes).
+    Bucketing uses INTEGER division (DIV / //), never float divide+
+    floor, so bucket edges are exact in both engines. One partial-
+    aggregated shuffle keyed by ~hundreds of buckets; at 100 TB the
+    combine step collapses each scan partition to |buckets| rows
+    before the exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket_lo = (F.expr("n_chars DIV 500") * 500).cast("bigint")
+    return (
+        docs.groupBy(bucket_lo.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+T12_SQL = """
+SELECT CAST((n_chars // 500) * 500 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+def v3_split_assignment(spark, sf_dir):
+    """Deterministic content-hash train/val/test split — the
+    reproducibility contract a training pipeline needs: a document
+    lands in the same split on every run, on every engine, regardless
+    of row order or partitioning, because the split key is
+    md5(text) (first 8 hex chars as an unsigned int, mod 1000:
+    <900 train, <950 val, else test). Content- (not id-) keyed so
+    exact duplicates land in the SAME split and can't leak across the
+    boundary. Both engines share the literal expression (Spark
+    conv(hex,16,10) ≡ DuckDB CAST('0x'||hex AS BIGINT)). Scale shape:
+    embarrassingly parallel map + a 3-group aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint") % 1000
+    split = (
+        F.when(h < 900, "train").when(h < 950, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+V3_SQL = """
+SELECT CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT n_chars,
+             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000 AS h
+      FROM documents)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3252,6 +3406,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w10_activity_streaks": w10_activity_streaks,
     "m5_changelog_compaction": m5_changelog_compaction,
     "e4_knn_graph": e4_knn_graph,
+    "a12_stats_moments": a12_stats_moments,
+    "u2_unpivot": u2_unpivot,
+    "t12_length_histogram": t12_length_histogram,
+    "v3_split_assignment": v3_split_assignment,
 }
 
 ORACLES: dict[str, str] = {
@@ -3334,4 +3492,8 @@ ORACLES: dict[str, str] = {
     "w10_activity_streaks": W10_SQL,
     "m5_changelog_compaction": M5_SQL,
     "e4_knn_graph": E4_SQL,
+    "a12_stats_moments": A12_SQL,
+    "u2_unpivot": U2_SQL,
+    "t12_length_histogram": T12_SQL,
+    "v3_split_assignment": V3_SQL,
 }
