@@ -3322,6 +3322,259 @@ GROUP BY 1
 """
 
 
+def a13_exact_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (p25/p75/p95) via the NEAREST-RANK
+    definition — value at row_number == ceil(q·n) — generalizing a7's
+    median shape. percentile()/quantile_cont() interpolate with
+    engine-specific float internals; nearest-rank is pure integer rank
+    selection, deterministic on any engine. The ceil is INTEGER
+    arithmetic ((n·q_pct + 99) DIV 100), never float — 0.95·n in
+    binary float lands epsilon above exact integers and flips the
+    ceil. Scale shape: one partition-local sort per group (the same
+    work any exact order statistic costs), one row per group out; no
+    global sort, no second scan — the three ranks are selected in the
+    same pass and pivoted by conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    n = F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    ranked = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        n.alias("n"),
+    )
+
+    def _rank(pct: int) -> F.Column:
+        return F.expr(f"(n * {pct} + 99) DIV 100")
+
+    def _pick(pct: int) -> F.Column:
+        return F.max(F.when(F.col("rn") == _rank(pct), F.col("v")))
+
+    return (
+        ranked.filter(
+            (F.col("rn") == _rank(25))
+            | (F.col("rn") == _rank(75))
+            | (F.col("rn") == _rank(95))
+        )
+        .groupBy("event_type")
+        .agg(
+            _pick(25).alias("p25"),
+            _pick(75).alias("p75"),
+            _pick(95).alias("p95"),
+        )
+    )
+
+
+A13_SQL = """
+WITH ranked AS (
+  SELECT event_type, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END) AS p25,
+       MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END) AS p75,
+       MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS p95
+FROM ranked
+WHERE rn = (n * 25 + 99) // 100
+   OR rn = (n * 75 + 99) // 100
+   OR rn = (n * 95 + 99) // 100
+GROUP BY event_type
+"""
+
+
+def m6_mor_read_view(spark, sf_dir):
+    """Merge-on-read resolution as a standalone query plan: a keyed
+    base snapshot (customer) overlaid by a delta of pending updates
+    (each customer's latest order re-pricing their balance), resolved
+    WITHOUT rewriting or window-scanning the base — the read-side plan
+    of the lake layer's MoR backend (sources/lake.py MergeOnRead),
+    isolated so the oracle can check its algebra. Shape:
+    delta winners ∪ (base ANTI-JOIN delta keys). The window runs over
+    the DELTA only (orders per customer); the 100-TB-shaped base is
+    touched by one anti-join on the key — broadcastable while the
+    delta stays batch-sized — and never shuffles through a window.
+    A left-join+coalesce over the base would compute the same rows but
+    forces every base row through the join; anti-join lets AQE prune
+    entire base partitions when the delta's key range is narrow.
+    Money goes through DECIMAL (exact) → DOUBLE at the boundary."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    delta = (
+        orders.select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("_new"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("_new").cast("double").alias("balance"),
+            F.lit("delta").alias("src"),
+        )
+    )
+    untouched = cust.join(delta.select("c_custkey"), "c_custkey", "left_anti").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("balance"),
+        F.lit("base").alias("src"),
+    )
+    return delta.unionByName(untouched)
+
+
+M6_SQL = """
+WITH delta AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS balance,
+         'delta' AS src
+  FROM (
+    SELECT o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT * FROM delta
+UNION ALL
+SELECT c_custkey,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS balance,
+       'base' AS src
+FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM delta)
+"""
+
+
+def d9_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle CONTAINMENT dedup — |A∩B| / min(|A|,|B|) over
+    distinct 5-token shingles — the doc-in-doc signal Jaccard (d2/d3)
+    structurally under-scores: a short document fully quoted inside a
+    long one has Jaccard ≈ |short|/|long| (arbitrarily small) but
+    containment 1.0. Plan is an INVERTED-INDEX self-join, never
+    all-pairs: shingles shuffle as md5 digests (fixed 32-byte keys, not
+    text), a document-frequency pass drops singleton shingles (no pair
+    can come from them) and stop-shingles occurring in > 100 docs —
+    the boilerplate keys whose self-join fan-out is quadratic in df;
+    at this corpus the cap never binds (max df = 4) so it is a pure
+    scale guard, disclosed: a corpus where it binds under-counts the
+    intersection of pairs sharing only boilerplate. Candidate pairs
+    group the digest join by (doc_a, doc_b); denominators are FULL
+    per-doc distinct-shingle counts, so the reported containment is
+    exact for every surfaced pair whose shared shingles survive the df
+    band. Both engines share the md5/threshold literals."""
+    from ..operators.textdedup import word_shingles_from_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(word_shingles_from_tokens(F.col("toks"), 5)).alias("_s"),
+        )
+        .select("doc_id", F.md5("_s").alias("psg"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_band = (
+        sh.groupBy("psg")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= 100))
+        .select("psg")
+    )
+    indexed = sh.join(df_band, "psg")
+    a = indexed.select(F.col("doc_id").alias("doc_a"), "psg")
+    b = indexed.select(F.col("doc_id").alias("doc_b"), "psg")
+    pairs = (
+        a.join(b, "psg")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    cont = F.round(
+        F.col("inter").cast("double")
+        / F.least("_na", "_nb").cast("double"),
+        6,
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") > 0.5)
+    )
+
+
+D9_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i:i+4], ' ')) AS psg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, GREATEST(len(toks) - 4, 1))) AS i)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+df_band AS (
+  SELECT psg FROM sh GROUP BY psg HAVING COUNT(*) BETWEEN 2 AND 100
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN df_band USING (psg) JOIN sh b USING (psg)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE)
+             / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(inter AS DOUBLE)
+            / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) > 0.5
+"""
+
+
+def t13_hapax_ratio(spark, sf_dir):
+    """Hapax-legomena ratio per language — the fraction of the
+    vocabulary occurring exactly once, the classic corpus-health /
+    OCR-noise signal (a garbled corpus inflates hapax share; a
+    template-spam corpus collapses it). Two-level aggregation: token
+    counts partial-combine map-side before the (lang, token) shuffle,
+    then one |vocab|-sized rollup per language. Ratio divides two
+    exact bigints — IEEE-identical in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    return freq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+    )
+
+
+T13_SQL = """
+WITH freq AS (
+  SELECT lang, token, COUNT(*) AS n
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+FROM freq
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3410,6 +3663,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u2_unpivot": u2_unpivot,
     "t12_length_histogram": t12_length_histogram,
     "v3_split_assignment": v3_split_assignment,
+    "a13_exact_quantiles": a13_exact_quantiles,
+    "m6_mor_read_view": m6_mor_read_view,
+    "d9_containment_pairs": d9_containment_pairs,
+    "t13_hapax_ratio": t13_hapax_ratio,
 }
 
 ORACLES: dict[str, str] = {
@@ -3496,4 +3753,8 @@ ORACLES: dict[str, str] = {
     "u2_unpivot": U2_SQL,
     "t12_length_histogram": T12_SQL,
     "v3_split_assignment": V3_SQL,
+    "a13_exact_quantiles": A13_SQL,
+    "m6_mor_read_view": M6_SQL,
+    "d9_containment_pairs": D9_SQL,
+    "t13_hapax_ratio": T13_SQL,
 }
