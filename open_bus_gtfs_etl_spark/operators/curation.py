@@ -203,3 +203,32 @@ def stratified_hash_sample(
     return df.withColumn("sample_bucket", bucket.cast("long")).filter(
         F.col("sample_bucket") < rate
     )
+
+
+def split_assignment(
+    text_col: str = "text",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> Column:
+    """Deterministic CONTENT-hash train/val/test split column — the
+    reproducibility contract a training pipeline needs: a document
+    lands in the same split on every run, every engine, every
+    partitioning, because the key is md5(text) (first 8 hex chars as
+    an unsigned int, mod 1000). Content- (not id-) keyed so exact
+    duplicates land in the SAME split and cannot leak across the
+    train/eval boundary — the same leak class decontaminate() gates at
+    n-gram granularity.
+
+    100-TB shape: a pure per-row expression — no shuffle, no join, no
+    state; the split of any row is computable in isolation, which is
+    what makes backfills and resharding safe.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("bigint")
+        % 1000
+    )
+    return (
+        F.when(h < train_pct * 10, "train")
+        .when(h < (train_pct + val_pct) * 10, "val")
+        .otherwise("test")
+    )

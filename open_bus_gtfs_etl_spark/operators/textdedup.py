@@ -435,3 +435,67 @@ def simhash_near_dups(
     return simhash_candidates(
         df, text_col, id_col, max_hamming, n_blocks, seed, max_bucket_size, dropped
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    min_df: int = 2,
+    max_df: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs:
+    |A∩B| / min(|A|, |B|) over distinct ``shingle_k``-token shingles —
+    the doc-in-doc signal Jaccard structurally under-scores (a short
+    doc fully quoted inside a long one has Jaccard ≈ |short|/|long|
+    but containment 1.0). Reference-parity note: the reference's dedup
+    guarantee is exact whole-row set membership
+    (load_stops_to_db.py:73-81); containment generalizes it to
+    sub-document granularity.
+
+    Plan (inverted index, never all-pairs): shingles shuffle as md5
+    digests (fixed 32-byte keys, never text); a document-frequency
+    band drops singleton shingles (df < ``min_df`` cannot produce a
+    pair) and stop-shingles with df > ``max_df`` — the boilerplate
+    keys whose self-join fan-out is quadratic in df. Candidates come
+    from the digest self-join grouped by (doc_a, doc_b); denominators
+    are FULL per-doc distinct-shingle counts, so a surfaced pair's
+    containment is exact unless some of its shared shingles fell to
+    the df band (under-count, disclosed by the caller's max_df pick).
+    Returns (doc_a, doc_b, containment) with containment rounded to 6
+    and filtered > ``threshold``.
+    """
+    sh = (
+        _shingle_frame(df, text_col, id_col, shingle_k)
+        .select(F.col("id").alias("_id"), F.explode("sh").alias("_s"))
+        .select("_id", F.md5("_s").alias("_psg"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_sh"))
+    df_band = (
+        sh.groupBy("_psg")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter((F.col("_nd") >= min_df) & (F.col("_nd") <= max_df))
+        .select("_psg")
+    )
+    indexed = sh.join(df_band, "_psg")
+    a = indexed.select(F.col("_id").alias("doc_a"), "_psg")
+    b = indexed.select(F.col("_id").alias("doc_b"), "_psg")
+    pairs = (
+        a.join(b, "_psg")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("_n_sh").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("_n_sh").alias("_nb"))
+    cont = F.round(
+        F.col("_inter").cast("double") / F.least("_na", "_nb").cast("double"), 6
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") > threshold)
+    )

@@ -3297,13 +3297,11 @@ def v3_split_assignment(spark, sf_dir):
     boundary. Both engines share the literal expression (Spark
     conv(hex,16,10) ≡ DuckDB CAST('0x'||hex AS BIGINT)). Scale shape:
     embarrassingly parallel map + a 3-group aggregate."""
+    from ..operators.curation import split_assignment
+
     docs = _t(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint") % 1000
-    split = (
-        F.when(h < 900, "train").when(h < 950, "val").otherwise("test")
-    )
     return (
-        docs.groupBy(split.alias("split"))
+        docs.groupBy(split_assignment("text", 90, 5).alias("split"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -3334,35 +3332,10 @@ def a13_exact_quantiles(spark, sf_dir):
     work any exact order statistic costs), one row per group out; no
     global sort, no second scan — the three ranks are selected in the
     same pass and pivoted by conditional aggregation."""
+    from ..operators.stats import exact_quantiles
+
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
-    n = F.count(F.lit(1)).over(W.partitionBy("event_type"))
-    ranked = ev.select(
-        "event_type",
-        F.col("value").alias("v"),
-        F.row_number().over(w).alias("rn"),
-        n.alias("n"),
-    )
-
-    def _rank(pct: int) -> F.Column:
-        return F.expr(f"(n * {pct} + 99) DIV 100")
-
-    def _pick(pct: int) -> F.Column:
-        return F.max(F.when(F.col("rn") == _rank(pct), F.col("v")))
-
-    return (
-        ranked.filter(
-            (F.col("rn") == _rank(25))
-            | (F.col("rn") == _rank(75))
-            | (F.col("rn") == _rank(95))
-        )
-        .groupBy("event_type")
-        .agg(
-            _pick(25).alias("p25"),
-            _pick(75).alias("p75"),
-            _pick(95).alias("p95"),
-        )
-    )
+    return exact_quantiles(ev, "event_type", "value", "event_id", [25, 75, 95])
 
 
 A13_SQL = """
@@ -3464,46 +3437,10 @@ def d9_containment_pairs(spark, sf_dir):
     per-doc distinct-shingle counts, so the reported containment is
     exact for every surfaced pair whose shared shingles survive the df
     band. Both engines share the md5/threshold literals."""
-    from ..operators.textdedup import word_shingles_from_tokens
+    from ..operators.textdedup import containment_pairs
 
     d = _t(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(word_shingles_from_tokens(F.col("toks"), 5)).alias("_s"),
-        )
-        .select("doc_id", F.md5("_s").alias("psg"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_band = (
-        sh.groupBy("psg")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter((F.col("nd") >= 2) & (F.col("nd") <= 100))
-        .select("psg")
-    )
-    indexed = sh.join(df_band, "psg")
-    a = indexed.select(F.col("doc_id").alias("doc_a"), "psg")
-    b = indexed.select(F.col("doc_id").alias("doc_b"), "psg")
-    pairs = (
-        a.join(b, "psg")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
-    cont = F.round(
-        F.col("inter").cast("double")
-        / F.least("_na", "_nb").cast("double"),
-        6,
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", cont.alias("containment"))
-        .filter(F.col("containment") > 0.5)
-    )
+    return containment_pairs(d, shingle_k=5, min_df=2, max_df=100, threshold=0.5)
 
 
 D9_SQL = """

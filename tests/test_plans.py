@@ -302,3 +302,39 @@ def test_changelog_compaction_single_shuffle(spark):
 
     plan = _plan(m5_changelog_compaction(spark, SF))
     assert plan.count("Exchange") == 1
+
+
+def test_mor_read_view_anti_join_and_delta_only_window(spark):
+    """m6: the base snapshot must NOT pass through a window — the only
+    Window node sits over the delta (orders) side, and the base is
+    resolved by a broadcast ANTI join on the key."""
+    from open_bus_gtfs_etl_spark.plans.queries import m6_mor_read_view
+
+    plan = _plan(m6_mor_read_view(spark, SF))
+    assert "LeftAnti" in plan, plan
+    # every Window node partitions by the DELTA key (o_custkey) — the
+    # base (customer) is never window-scanned; and the top-1 is pushed
+    # into WindowGroupLimit so the delta sort never materializes ranks
+    # beyond the winner
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("o_custkey" in ln for ln in win_lines), plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_containment_pairs_digest_join_no_cartesian(spark):
+    """d9: candidates come from the shingle-digest equi-join — no
+    cartesian/nested-loop product anywhere in the plan."""
+    from open_bus_gtfs_etl_spark.plans.queries import d9_containment_pairs
+
+    plan = _plan(d9_containment_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_assignment_shuffle_free_scan(spark):
+    """v3's split column is a pure per-row expression: the pre-agg scan
+    stage carries no Exchange before the single group-by shuffle."""
+    from open_bus_gtfs_etl_spark.plans.queries import v3_split_assignment
+
+    plan = _plan(v3_split_assignment(spark, SF))
+    assert plan.count("Exchange") == 1, plan

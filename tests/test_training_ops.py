@@ -474,3 +474,66 @@ def test_token_chunking_reassembles_documents(spark):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------- containment
+
+def test_containment_detects_doc_in_doc(spark):
+    """A short doc fully quoted inside a long one: Jaccard is
+    structurally small (≈ |short|/|long|) but containment must be 1.0
+    — the signal d2/d3 cannot surface."""
+    long_toks = [f"w{i}" for i in range(100)]
+    long_text = " ".join(long_toks)
+    short_text = " ".join(long_toks[20:40])  # verbatim 20-token quote
+    other = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)], ["doc_id", "text"]
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in textdedup.containment_pairs(df, shingle_k=5).collect()
+    }
+    assert out == {(1, 2): 1.0}
+    # the same pair's Jaccard: 16 shared shingles / 96 union ≈ 0.17
+    sh = textdedup.jaccard_pairs(
+        df, spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    )
+    j = sh.collect()[0].jaccard
+    assert j < 0.25, f"expected small jaccard for doc-in-doc, got {j}"
+
+
+def test_containment_df_band_drops_stop_shingles(spark):
+    """A boilerplate shingle present in EVERY doc is excluded by the
+    max_df cap: pairs sharing ONLY boilerplate surface nothing."""
+    boiler = "b1 b2 b3 b4 b5"
+    docs = [(i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(30)))
+            for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = textdedup.containment_pairs(
+        df, shingle_k=5, min_df=2, max_df=3, threshold=0.0
+    )
+    # every cross-doc shared shingle involves boilerplate tokens; the
+    # df cap (3 < 6 docs) removes them from the index entirely
+    assert out.count() == 0
+
+
+def test_split_assignment_stable_and_leak_free(spark):
+    """Content-hash split: (a) invariant under row order/partitioning,
+    (b) exact duplicate texts land in the SAME split (no leak)."""
+    from open_bus_gtfs_etl_spark.operators.curation import split_assignment
+
+    d = _docs(spark).select("doc_id", "text")
+    dup = d.limit(40).select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    corpus = d.unionByName(dup)
+    split = split_assignment("text", 90, 5)
+    a = {r.doc_id: r.s for r in corpus.select("doc_id", split.alias("s")).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in corpus.repartition(17)
+        .sortWithinPartitions(F.desc("doc_id"))
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert a == b, "split must be partition/order-invariant"
+    for r in dup.select("doc_id").collect():
+        assert a[r.doc_id] == a[r.doc_id - 10_000], "duplicate text split leak"
