@@ -3512,6 +3512,178 @@ GROUP BY lang
 """
 
 
+def e5_cluster_quality(spark, sf_dir):
+    """Cluster-quality audit over the labeled embeddings — simplified
+    silhouette: per label, COHESION (mean cosine of members to their
+    own label centroid) and SEPARATION (cosine of the centroid to its
+    nearest OTHER centroid). The audit an embedding-dedup / diversity-
+    sampling pipeline runs before trusting labels as strata.
+
+    Determinism: centroids are per-dimension means from exact
+    DECIMAL(27,15) sums (e3's trick — order-independent where float
+    accumulation is not); member cosines fold the 64 dims in array
+    order in both engines and round to 6 dp; the cohesion mean sums
+    the ROUNDED cosines as DECIMAL(10,6) (exact) before one double
+    division. 100-TB shape: the posexplode fan-out map-side-combines
+    to |labels|·64 rows; the centroid frame re-joins broadcast; the
+    |labels|² separation cross-join is over the tiny centroid frame,
+    never members."""
+    em = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    comp = em.select("label", F.posexplode("v").alias("dim0", "c0")).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("c0").cast("decimal(27,15)").alias("comp"),
+    )
+    cent_long = comp.groupBy("label", "dim").agg(
+        (F.sum("comp").cast("double") / F.count(F.lit(1)).cast("double")).alias("cval")
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda s: s["cval"],
+        ).alias("c")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def _norm(a):
+        return F.sqrt(_dot(a, a))
+
+    member = em.join(F.broadcast(cent), "label").select(
+        "label",
+        F.round(
+            _dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c"))), 6
+        ).alias("cos"),
+    )
+    coh = member.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("cohesion"),
+    )
+    a = cent.select(F.col("label").alias("label"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    sep = (
+        a.join(b, F.col("label") != F.col("label_b"))
+        .select(
+            "label",
+            F.round(
+                _dot(F.col("ca"), F.col("cb"))
+                / (_norm(F.col("ca")) * _norm(F.col("cb"))),
+                6,
+            ).alias("ccos"),
+        )
+        .groupBy("label")
+        .agg(F.max("ccos").alias("nearest_other_cos"))
+    )
+    return coh.join(sep, "label").select(
+        "label", "n_members", "cohesion", "nearest_other_cos"
+    )
+
+
+E5_SQL = """
+WITH emb AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT label, i AS dim, CAST(v[i] AS DECIMAL(27,15)) AS comp
+  FROM emb, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+),
+cent_long AS (
+  SELECT label, dim, CAST(SUM(comp) AS DOUBLE) / COUNT(*) AS cval
+  FROM comp GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(cval ORDER BY dim) AS c FROM cent_long GROUP BY 1
+),
+member AS (
+  SELECT e.label,
+         round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * c[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c, x -> x * x)))), 6) AS cos
+  FROM emb e JOIN cent USING (label)
+),
+coh AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         round(CAST(SUM(CAST(cos AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS cohesion
+  FROM member GROUP BY 1
+),
+sep AS (
+  SELECT a.label,
+         MAX(round(list_sum(list_transform(generate_series(1, len(a.c)),
+                                           i -> a.c[i] * b.c[i]))
+                   / (sqrt(list_sum(list_transform(a.c, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.c, x -> x * x)))), 6))
+           AS nearest_other_cos
+  FROM cent a JOIN cent b ON a.label <> b.label
+  GROUP BY 1
+)
+SELECT label, n_members, cohesion, nearest_other_cos
+FROM coh JOIN sep USING (label)
+"""
+
+
+def a14_column_profile(spark, sf_dir):
+    """One-scan data-profiling rollup — exact distinct count and null
+    count per column, emitted LONG (col_name, n_distinct, n_null) —
+    the schema-drift / cardinality monitor a CDC pipeline runs against
+    every landed batch. All three distinct aggregates ride ONE scan
+    (Spark plans multi-distinct as a single Expand + two-level agg, so
+    the cost is one pass regardless of column count, where the naive
+    per-column profiler rescans k times); the wide 1-row aggregate is
+    reshaped by stack() on the driver-side single row. The profiled
+    frame includes a null-able derived column (JSON k extraction) so
+    the null counter is exercised, not trivially zero."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+    )
+    wide = d.agg(
+        F.countDistinct("event_type").alias("nd1"),
+        F.sum(F.isnull("event_type").cast("long")).alias("nn1"),
+        F.countDistinct("user_id").alias("nd2"),
+        F.sum(F.isnull("user_id").cast("long")).alias("nn2"),
+        F.countDistinct("k_int").alias("nd3"),
+        F.sum(F.isnull("k_int").cast("long")).alias("nn3"),
+    )
+    return wide.selectExpr(
+        "stack(3, 'event_type', nd1, nn1, 'user_id', nd2, nn2, 'k_int', nd3, nn3) "
+        "AS (col_name, n_distinct, n_null)"
+    )
+
+
+A14_SQL = """
+WITH d AS (
+  SELECT event_type, user_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+  FROM events
+)
+SELECT 'event_type' AS col_name,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+FROM d
+UNION ALL
+SELECT 'user_id', CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM d
+UNION ALL
+SELECT 'k_int', CAST(COUNT(DISTINCT k_int) AS BIGINT),
+       CAST(SUM(CASE WHEN k_int IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3604,6 +3776,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m6_mor_read_view": m6_mor_read_view,
     "d9_containment_pairs": d9_containment_pairs,
     "t13_hapax_ratio": t13_hapax_ratio,
+    "e5_cluster_quality": e5_cluster_quality,
+    "a14_column_profile": a14_column_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -3694,4 +3868,6 @@ ORACLES: dict[str, str] = {
     "m6_mor_read_view": M6_SQL,
     "d9_containment_pairs": D9_SQL,
     "t13_hapax_ratio": T13_SQL,
+    "e5_cluster_quality": E5_SQL,
+    "a14_column_profile": A14_SQL,
 }

@@ -338,3 +338,26 @@ def test_split_assignment_shuffle_free_scan(spark):
 
     plan = _plan(v3_split_assignment(spark, SF))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_column_profile_single_scan(spark):
+    """a14: all distinct/null aggregates ride ONE scan of events —
+    multi-distinct plans as Expand + two-level agg, never k rescans."""
+    from open_bus_gtfs_etl_spark.plans.queries import a14_column_profile
+
+    plan = _plan(a14_column_profile(spark, SF))
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_cluster_quality_broadcasts_centroids(spark):
+    """e5: the member→centroid join broadcasts the |labels|-row
+    centroid frame; members never shuffle for it."""
+    from open_bus_gtfs_etl_spark.plans.queries import e5_cluster_quality
+
+    plan = _plan(e5_cluster_quality(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # the |labels|² separation join is non-equi (label != label_b) and
+    # correctly plans as a broadcast nested loop over the TINY centroid
+    # frame — what must NOT appear is a sort-merge join anywhere
+    assert "SortMergeJoin" not in plan, plan

@@ -64,3 +64,44 @@ def test_overlap_counts_match_brute_force(spark, docs):
         if i % 3 != 0
     }
     assert got == want
+
+
+# ------------------------------------------------- containment property
+
+def _shingles_k(text: str, k: int) -> set[str]:
+    toks = text.split(" ")
+    n_win = max(len(toks) - (k - 1), 1)
+    return {" ".join(toks[i : i + k]) for i in range(n_win)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpora())
+def test_containment_matches_brute_force(spark, docs):
+    """For ANY corpus, containment_pairs with a non-binding df band
+    (max_df >= corpus size) equals the pure-Python brute force over
+    the same shingle definition: every pair with
+    |A∩B| / min(|A|,|B|) > 0 surfaces with exactly that value."""
+    from open_bus_gtfs_etl_spark.operators.textdedup import containment_pairs
+
+    k = 3
+    want = {}
+    for i, (ida, ta) in enumerate(docs):
+        sa = _shingles_k(ta, k)
+        for idb, tb in docs[i + 1:]:
+            sb = _shingles_k(tb, k)
+            inter = len(sa & sb)
+            if inter:
+                lo, hi = sorted((ida, idb))
+                want[(lo, hi)] = round(inter / min(len(sa), len(sb)), 6)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(
+            df, shingle_k=k, min_df=2, max_df=len(docs), threshold=0.0
+        ).collect()
+    }
+    assert got == want, f"containment mismatch: {got} vs {want}"
