@@ -3684,6 +3684,46 @@ SELECT 'k_int', CAST(COUNT(DISTINCT k_int) AS BIGINT),
 """
 
 
+def w12_range_frame_rolling(spark, sf_dir):
+    """Event-TIME range-frame rolling aggregate — per user, at each
+    event, the sum and count of the user's events in the trailing
+    3600-second window measured on the TIMESTAMP axis (RANGE frame),
+    not on row offsets (ROWS — w5's shape): with irregular event
+    spacing the two frames answer different questions, and the
+    range-frame one is what rate limiting / rolling-QPS monitors need.
+    Both engines order by epoch SECONDS (exact bigints) so the frame
+    boundary arithmetic is integer, never interval/calendar logic;
+    value sums ride DECIMAL. Ties on the same second are fine: RANGE
+    includes ALL peer rows of the boundary second in both engines by
+    definition. One shuffle on user_id; the frame scan is the
+    partition-local running-window pass any time-decay feature costs."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").alias("epoch_s")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", epoch, F.col("value").cast("decimal(18,4)").alias("_v")
+    ).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum("_v").over(w).cast("double").alias("sum_1h"),
+    )
+
+
+W12_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+FROM (SELECT event_id, user_id, epoch(ts)::BIGINT AS epoch_s, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3778,6 +3818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t13_hapax_ratio": t13_hapax_ratio,
     "e5_cluster_quality": e5_cluster_quality,
     "a14_column_profile": a14_column_profile,
+    "w12_range_frame_rolling": w12_range_frame_rolling,
 }
 
 ORACLES: dict[str, str] = {
@@ -3870,4 +3911,5 @@ ORACLES: dict[str, str] = {
     "t13_hapax_ratio": T13_SQL,
     "e5_cluster_quality": E5_SQL,
     "a14_column_profile": A14_SQL,
+    "w12_range_frame_rolling": W12_SQL,
 }
