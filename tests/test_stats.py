@@ -47,3 +47,27 @@ def test_partition_invariance(spark):
     q2 = {r["grp"]: (r["p25"], r["p75"], r["p95"])
           for r in exact_quantiles(df2, "grp", "v", "tb", [25, 75, 95]).collect()}
     assert q1 == q2
+
+
+def test_nearest_rank_matches_numpy_definition(spark):
+    """Randomized cross-check vs an independent Python nearest-rank
+    implementation (sorted list, index ceil(pct·n/100)−1) across group
+    sizes 1..40 — pinning the rank arithmetic, not just one n."""
+    import math
+    import random
+
+    rnd = random.Random(11)
+    rows, want = [], {}
+    for g in range(1, 41):
+        vals = [round(rnd.uniform(0, 100), 3) for _ in range(g)]
+        for i, v in enumerate(vals):
+            rows.append((f"g{g:02d}", v, i))
+        s = sorted(vals)
+        want[f"g{g:02d}"] = {
+            pct: s[math.ceil(pct * g / 100) - 1] for pct in (25, 75, 95)
+        }
+    df = spark.createDataFrame(rows, ["grp", "v", "tb"])
+    out = exact_quantiles(df, "grp", "v", "tb", [25, 75, 95])
+    for r in out.collect():
+        w = want[r["grp"]]
+        assert (r["p25"], r["p75"], r["p95"]) == (w[25], w[75], w[95]), r["grp"]
