@@ -3724,6 +3724,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
 """
 
 
+def a15_approx_distinct(spark, sf_dir):
+    """HLL++ approximate distinct count with a CHECKED error bound —
+    the sketch aggregate every 100-TB cardinality job leads with
+    (per-partition sketches merge associatively; the shuffle carries
+    one ~KB sketch per group instead of the distinct-key set that
+    count_distinct's two-phase Expand plan shuffles). The sketch VALUE
+    is engine-specific (Spark HLL++ vs DuckDB's HLL disagree by
+    design), so the oracle-checked contract is the ERROR BOUND, not
+    the estimate: the query computes both approx_count_distinct(rsd=
+    0.02) and the exact distinct per group and emits whether the
+    estimate landed within 5% (2.5 sigma — a bound the sketch must
+    clear on any corpus), plus the exact count the oracle reproduces.
+    A red row here means the sketch's accuracy contract broke, which
+    is precisely what a per-batch cardinality monitor wants to alarm
+    on. Scale note: the exact count exists only to audit the sketch at
+    test scale — production runs the sketch alone."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("_n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_n_approx") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+    )
+
+
+A15_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3819,6 +3862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e5_cluster_quality": e5_cluster_quality,
     "a14_column_profile": a14_column_profile,
     "w12_range_frame_rolling": w12_range_frame_rolling,
+    "a15_approx_distinct": a15_approx_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -3912,4 +3956,5 @@ ORACLES: dict[str, str] = {
     "e5_cluster_quality": E5_SQL,
     "a14_column_profile": A14_SQL,
     "w12_range_frame_rolling": W12_SQL,
+    "a15_approx_distinct": A15_SQL,
 }
