@@ -121,12 +121,13 @@ def lww_dedup_argmax_join(
         how="inner",
     ).where(F.col(lsn_col) == F.col("_max_lsn"))
     extra = ["_n_dups", "_lsn_min", "_lsn_max"] if carry_stats else []
+    # rank BEFORE the output projection: ts_col need not be (and
+    # usually isn't) part of the payload the caller keeps
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
     return (
-        j.select(*key_cols, *payload_cols, *extra)
-        .withColumn("_rn", F.row_number().over(w))
+        j.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .select(*key_cols, *payload_cols, *extra)
     )
 
 
@@ -210,23 +211,46 @@ def lww_dedup_salted(
     ts_col: str = "ts",
     n_salts: int = 16,
 ) -> DataFrame:
-    """Explicit two-phase salted LWW (hot-key spreading).
+    """Explicit two-phase salted LWW (hot-key spreading) for the
+    SORT-plan family.
 
-    Phase 1 groups by (key, salt) where salt = lsn % n_salts — a hot
-    key's rows land on n_salts distinct reducers. Phase 2 reduces the
-    per-salt winners (≤ n_salts rows per key) to the final winner.
+    Salting is the straggler fix for plans that must SORT a key's rows
+    on one reducer (``lww_dedup_window`` / ``_window_repart``): phase 1
+    repartitions by (key, salt = lsn % n_salts) — a hot key's rows
+    split across n_salts sort shards of hot/n_salts rows each — and
+    ranks within the shard; phase 2 re-ranks the ≤ n_salts per-salt
+    winners per key (a shuffle of |keys|·n_salts short rows). The
+    payload crosses the wire once, same as the unsalted window plan.
+
+    Deliberately NOT a ``max_by(struct)`` aggregation: max_by carries
+    an object buffer, so it plans ObjectHashAggregate, which falls back
+    to sort-based aggregation once a partition exceeds
+    ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold``
+    (default 128 groups) — on any real batch that is a guaranteed
+    fallback, i.e. the full sort the salting was meant to avoid plus
+    per-row struct-buffer copies (measured 2–10× slower than this plan
+    and erratic under memory pressure, bench/skew_ab.py). The
+    AGGREGATION plan family (``lww_dedup_argmax_join``, the kernel
+    default) needs no salting at all: its longs-only partial
+    HashAggregate map-side-combines a hot key to ≤ one row per map
+    task before the shuffle.
+
+    Ties: duplicate deliveries share lsn AND payload, so they land in
+    the same salt shard and either copy is THE winner.
     """
-    salt = F.pmod(F.col(lsn_col), F.lit(n_salts)).alias("_salt")
-    phase1 = (
-        df.withColumn("_salt", salt)
-        .groupBy(*key_cols, "_salt")
-        .agg(
-            F.max_by(
-                F.struct(*[F.col(c) for c in payload_cols]),
-                _ord_struct(lsn_col, ts_col),
-            ).alias("_w"),
-            F.max(_ord_struct(lsn_col, ts_col)).alias("_ord"),
-        )
+    p1 = df.withColumn("_salt", F.pmod(F.col(lsn_col), F.lit(n_salts)))
+    # repartition on (key, salt) satisfies the phase-1 window's
+    # required ClusteredDistribution — one exchange, shard-local sort
+    p1 = p1.repartition(*[F.col(c) for c in key_cols], F.col("_salt"))
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(
+        F.col(lsn_col).desc(), F.col(ts_col).desc()
     )
-    phase2 = phase1.groupBy(*key_cols).agg(F.max_by(F.col("_w"), F.col("_ord")).alias("_w"))
-    return phase2.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+    per_salt = p1.withColumn("_rn", F.row_number().over(w1)).where(F.col("_rn") == 1)
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        F.col(lsn_col).desc(), F.col(ts_col).desc()
+    )
+    return (
+        per_salt.withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") == 1)
+        .select(*key_cols, *payload_cols)
+    )

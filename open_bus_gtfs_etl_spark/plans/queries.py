@@ -3103,6 +3103,65 @@ FROM netted
 """
 
 
+def m7_incremental_view_maintenance(spark, sf_dir):
+    """Retraction-aware incremental aggregate maintenance
+    (operators/ivm.py): the stored view is per-user (count, sum of
+    value) over the base partition of events (event_id % 10 != 0); the
+    change batch is the other 10%, with 'error' events as signed
+    retractions (-1 count, -value sum). The engine aggregates ONLY the
+    delta and folds it into the view state — O(|delta| + |groups|),
+    never a base rescan — and drops groups whose maintained count
+    reaches 0. The oracle is the defining IVM equivalence: a full
+    recompute over the signed union of base + delta.
+
+    Reference analogue: the stats dicts rebuilt by reprocessing the
+    whole day whenever anything changes (load_stops_to_db.py:25,51-63;
+    rollup idempotent_process.py:34-54) — this is the no-rescan form.
+    100-TB shape: delta agg is one map-combined keys+longs shuffle over
+    the delta; the fold unions two already-aggregated frames (|groups|
+    rows). MIN/MAX are deliberately not offered — not self-maintainable
+    under deletes (see the module docstring)."""
+    from ..operators import ivm
+
+    ev = _t(spark, sf_dir, "events")
+    is_delta = F.pmod("event_id", F.lit(10)) == 0
+    val = F.col("value").cast("decimal(18,4)")
+    state = (
+        ev.where(~is_delta)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias(ivm.N_COL),
+            F.sum(val).cast("decimal(28,4)").alias(ivm.SUM_COL),
+        )
+    )
+    delta = ivm.delta_state(
+        ev.where(is_delta), ["user_id"], val, F.col("event_type") == "error"
+    )
+    out = ivm.maintain(state, delta, ["user_id"])
+    return out.select(
+        "user_id",
+        ivm.N_COL,
+        F.col(ivm.SUM_COL).cast("double").alias(ivm.SUM_COL),
+    )
+
+
+M7_SQL = """
+WITH signed AS (
+  SELECT user_id,
+         CASE WHEN event_id % 10 = 0 AND event_type = 'error'
+              THEN -1 ELSE 1 END AS sgn,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(sgn) AS BIGINT) AS n_rows,
+       CAST(SUM(sgn * v) AS DOUBLE) AS sum_value
+FROM signed
+GROUP BY user_id
+HAVING SUM(sgn) > 0
+"""
+
+
 def e4_knn_graph(spark, sf_dir):
     """Batch kNN graph (operators/similarity.py:knn_graph): top-3
     cosine neighbors for EVERY vector under the same IVF multi-probe
@@ -3857,6 +3916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v3_split_assignment": v3_split_assignment,
     "a13_exact_quantiles": a13_exact_quantiles,
     "m6_mor_read_view": m6_mor_read_view,
+    "m7_incremental_view_maintenance": m7_incremental_view_maintenance,
     "d9_containment_pairs": d9_containment_pairs,
     "t13_hapax_ratio": t13_hapax_ratio,
     "e5_cluster_quality": e5_cluster_quality,
@@ -3951,6 +4011,7 @@ ORACLES: dict[str, str] = {
     "v3_split_assignment": V3_SQL,
     "a13_exact_quantiles": A13_SQL,
     "m6_mor_read_view": M6_SQL,
+    "m7_incremental_view_maintenance": M7_SQL,
     "d9_containment_pairs": D9_SQL,
     "t13_hapax_ratio": T13_SQL,
     "e5_cluster_quality": E5_SQL,

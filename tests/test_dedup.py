@@ -32,6 +32,24 @@ def test_implementations_agree(spark):
     assert len(keys) == len(set(keys))
 
 
+def test_payload_without_ordering_cols(spark):
+    """Regression: the caller's payload need not include lsn/ts — the
+    argmax join used to project them away before its tie-break window
+    ordered by ts (AnalysisException); all four plans must resolve and
+    agree when the payload is text-only."""
+    df = generate_events(spark, 3000, n_conv=30, seed=7, dup_rate=0.05)
+    slim = ["role", "text", "tool"]
+
+    def norm(rows):
+        return sorted((r.conv_id, r.turn_idx, r.role, r.text, r.tool) for r in rows)
+
+    a = norm(lww_dedup_agg(df, KEYS, slim).collect())
+    w = norm(lww_dedup_window(df, KEYS).select(*KEYS, *slim).collect())
+    s = norm(lww_dedup_salted(df, KEYS, slim, n_salts=4).collect())
+    x = norm(lww_dedup_argmax_join(df, KEYS, slim).collect())
+    assert a == w == s == x
+
+
 def test_winner_is_max_lsn(spark):
     df = generate_events(spark, 2000, n_conv=20, seed=9, dup_rate=0)
     pdf = df.toPandas()
