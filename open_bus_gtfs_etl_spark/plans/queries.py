@@ -3783,6 +3783,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
 """
 
 
+def w13_funnel_subsequence(spark, sf_dir):
+    """Ordered funnel (view → click → purchase as a SUBSEQUENCE per
+    user): a click counts only with a view strictly before it, a
+    purchase only with a qualifying click strictly before it. The
+    textbook plan is three passes (agg first-view, join back, agg
+    first-qualifying-click, join back, …) — three shuffles of the fact
+    table. This plan is ONE exchange: qualification is existential, so
+    two stacked MAX-flag windows over the same (user_id | ts, event_id)
+    sort ('seen a view among preceding rows', 'seen a qualifying click
+    among preceding rows') decide every row, and the final per-stage
+    distinct-user counts aggregate the flags. Strict precedence via the
+    ROWS UNBOUNDED PRECEDING..1 PRECEDING frame; (ts, event_id) makes
+    the order total, so ties are impossible rather than tolerated.
+    Reference analogue: the staged existence gates of
+    idempotent_process.py:94-104 (process only after download, upload
+    only after process) — the same subsequence contract, per user
+    instead of per date."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_view = (F.col("event_type") == "view").cast("int")
+    st = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_seen_view", F.coalesce(F.max(is_view).over(w), F.lit(0)))
+        .withColumn(
+            "_click_q",
+            ((F.col("event_type") == "click") & (F.col("_seen_view") == 1)).cast("int"),
+        )
+    )
+    st = st.withColumn(
+        "_seen_click_q", F.coalesce(F.max("_click_q").over(w), F.lit(0))
+    )
+    purchase_q = (F.col("event_type") == "purchase") & (F.col("_seen_click_q") == 1)
+    return st.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).cast("bigint").alias("stage1_users"),
+        F.countDistinct(F.when(F.col("_click_q") == 1, F.col("user_id")))
+        .cast("bigint")
+        .alias("stage2_users"),
+        F.countDistinct(F.when(purchase_q, F.col("user_id")))
+        .cast("bigint")
+        .alias("stage3_users"),
+    )
+
+
+W13_SQL = """
+WITH st AS (
+  SELECT user_id, event_type, ts, event_id,
+         COALESCE(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_view
+  FROM events
+), st2 AS (
+  SELECT user_id, event_type,
+         CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END AS click_q,
+         COALESCE(MAX(CASE WHEN event_type = 'click' AND seen_view = 1
+                           THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_click_q
+  FROM st
+)
+SELECT
+  CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT)
+    AS stage1_users,
+  CAST(COUNT(DISTINCT CASE WHEN click_q = 1 THEN user_id END) AS BIGINT)
+    AS stage2_users,
+  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND seen_click_q = 1
+                           THEN user_id END) AS BIGINT) AS stage3_users
+FROM st2
+"""
+
+
 def a15_approx_distinct(spark, sf_dir):
     """HLL++ approximate distinct count with a CHECKED error bound —
     the sketch aggregate every 100-TB cardinality job leads with
@@ -3922,6 +3998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e5_cluster_quality": e5_cluster_quality,
     "a14_column_profile": a14_column_profile,
     "w12_range_frame_rolling": w12_range_frame_rolling,
+    "w13_funnel_subsequence": w13_funnel_subsequence,
     "a15_approx_distinct": a15_approx_distinct,
 }
 
@@ -4017,5 +4094,6 @@ ORACLES: dict[str, str] = {
     "e5_cluster_quality": E5_SQL,
     "a14_column_profile": A14_SQL,
     "w12_range_frame_rolling": W12_SQL,
+    "w13_funnel_subsequence": W13_SQL,
     "a15_approx_distinct": A15_SQL,
 }

@@ -361,3 +361,18 @@ def test_cluster_quality_broadcasts_centroids(spark):
     # correctly plans as a broadcast nested loop over the TINY centroid
     # frame — what must NOT appear is a sort-merge join anywhere
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_funnel_single_window_exchange(spark):
+    """w13: both qualification flags ride ONE (user_id) exchange — two
+    Window nodes share the sort; the only other shuffles belong to the
+    final multi-distinct aggregate (Expand plan), never a fact rescan
+    or a join."""
+    from open_bus_gtfs_etl_spark.plans.queries import w13_funnel_subsequence
+
+    plan = _plan(w13_funnel_subsequence(spark, SF))
+    assert plan.count("Window") >= 2, plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    # one exchange for the windows + the distinct-agg's own exchanges
+    assert plan.count("hashpartitioning(user_id") == 1, plan
