@@ -52,11 +52,20 @@ def delta_state(
     )
 
 
-def maintain(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+def maintain(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    drop_nonpositive: bool = True,
+) -> DataFrame:
     """Fold a signed delta state into the stored view state. Both
-    inputs carry (keys, n_rows, sum_value); output drops groups whose
-    maintained count is no longer positive. The union re-aggregation
-    touches |groups| + |delta groups| rows — no base-table scan."""
+    inputs carry (keys, n_rows, sum_value); by default groups whose
+    maintained count is no longer positive are dropped (the view
+    semantics). ``drop_nonpositive=False`` keeps them — a SINK needs
+    the zero-count groups to emit deletes/tombstones instead of
+    silently leaving stale rows (streaming/aggregates.py). The union
+    re-aggregation touches |groups| + |delta groups| rows — no
+    base-table scan."""
     cols = [*keys, N_COL, SUM_COL]
     merged = (
         state.select(*cols)
@@ -67,4 +76,6 @@ def maintain(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
             F.sum(SUM_COL).cast("decimal(28,4)").alias(SUM_COL),
         )
     )
-    return merged.where(F.col(N_COL) > 0)
+    if drop_nonpositive:
+        merged = merged.where(F.col(N_COL) > 0)
+    return merged

@@ -129,6 +129,14 @@ def apply_batch(
     - "agg": max_by — correct for feeds whose lsn is NOT unique per
       key event, where argmax's winning-lsn join-back could tie.
 
+    ``salted`` routes dedup through the two-phase salted WINDOW plan
+    (hot-key sort-shard splitting). Note the default argmax plan is
+    already skew-neutral — its longs-only partial HashAggregate
+    map-side-combines a hot key to ≤ 1 row per map task — so salting
+    matters only for the sort-family plans ("window" bootstrap with a
+    pathologically hot key); measured trade-offs in BENCH.md's hot-key
+    skew A/B (bench/skew_ab.py).
+
     ``batch`` columns: key cols + value cols + (op, lsn, ts). Returns the
     merge stats dict (plus dedup count when ``stats``). Fencing lives in
     the table, namespaced by ``writer``; a replayed batch_id is a no-op
