@@ -3859,6 +3859,53 @@ FROM st2
 """
 
 
+def t14_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution — the
+    vocabulary-concentration quality signal (low entropy = boilerplate
+    or keyword-stuffed spam; complements t5's duplicate-bigram share,
+    which only sees ADJACENT repetition). One identity per doc avoids
+    materializing probabilities: H = log2(n) − (Σ c·log2 c)/n over the
+    per-(doc, token) counts c, so the plan is two stacked aggregations
+    (map-side combined) after the explode, no join, no window. Same
+    single-space tokenization as t4/t5; both engines evaluate log2 in
+    IEEE double, compared at 6 dp by the driver."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.log2("n_tokens") - F.col("_clc") / F.col("n_tokens")).alias(
+                "token_entropy"
+            ),
+        )
+    )
+
+
+T14_SQL = """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''
+), cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS token_entropy
+FROM cnt
+GROUP BY doc_id
+"""
+
+
 def a15_approx_distinct(spark, sf_dir):
     """HLL++ approximate distinct count with a CHECKED error bound —
     the sketch aggregate every 100-TB cardinality job leads with
@@ -3999,6 +4046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_column_profile": a14_column_profile,
     "w12_range_frame_rolling": w12_range_frame_rolling,
     "w13_funnel_subsequence": w13_funnel_subsequence,
+    "t14_token_entropy": t14_token_entropy,
     "a15_approx_distinct": a15_approx_distinct,
 }
 
@@ -4095,5 +4143,6 @@ ORACLES: dict[str, str] = {
     "a14_column_profile": A14_SQL,
     "w12_range_frame_rolling": W12_SQL,
     "w13_funnel_subsequence": W13_SQL,
+    "t14_token_entropy": T14_SQL,
     "a15_approx_distinct": A15_SQL,
 }
