@@ -3867,8 +3867,10 @@ def t14_token_entropy(spark, sf_dir):
     materializing probabilities: H = log2(n) − (Σ c·log2 c)/n over the
     per-(doc, token) counts c, so the plan is two stacked aggregations
     (map-side combined) after the explode, no join, no window. Same
-    single-space tokenization as t4/t5; both engines evaluate log2 in
-    IEEE double, compared at 6 dp by the driver."""
+    single-space tokenization as t4/t5. log2 is transcendental, so the
+    two engines' libm/JVM implementations (and their summation orders)
+    legitimately differ by ULPs — like t9's idf, both sides round to
+    6 dp, which is the statistic's meaningful precision anyway."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -3883,9 +3885,9 @@ def t14_token_entropy(spark, sf_dir):
         .select(
             "doc_id",
             "n_tokens",
-            (F.log2("n_tokens") - F.col("_clc") / F.col("n_tokens")).alias(
-                "token_entropy"
-            ),
+            F.round(
+                F.log2("n_tokens") - F.col("_clc") / F.col("n_tokens"), 6
+            ).alias("token_entropy"),
         )
     )
 
@@ -3900,7 +3902,7 @@ WITH tok AS (
 )
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
-       log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS token_entropy
+       round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS token_entropy
 FROM cnt
 GROUP BY doc_id
 """
