@@ -373,17 +373,20 @@ class SnapshotParquetTable:
         if not changed:
             return self.spark.createDataFrame([], out_schema)
 
-        def side(version: int, alias: str) -> DataFrame:
+        def side(version: int, alias: str, values: bool) -> DataFrame:
             df = self.read_stored(buckets=changed, at_version=version)
             # align a pre-evolution snapshot to the v_to user schema
-            for c in user_cols:
+            cols = user_cols if values else key_cols
+            for c in cols:
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(None).cast(types[c]))
-            keep = user_cols + ["_lsn", "_ts", "_deleted"]
-            return df.select(keep).alias(alias)
+            # the from-side contributes only keys + stamps + liveness —
+            # dropping its value columns here lets the parquet scan
+            # column-prune the wide payload (text) on that whole side
+            return df.select(cols + ["_lsn", "_ts", "_deleted"]).alias(alias)
 
-        f = side(v_from, "f")
-        t = side(v_to, "t")
+        f = side(v_from, "f", values=False)
+        t = side(v_to, "t", values=True)
         cond = [F.col(f"f.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key_cols]
         j = f.join(t, cond, "full_outer")
 

@@ -172,6 +172,26 @@ def test_changes_bucket_pruning(tmp_path, spark):
     assert all(f"_bucket={b}" in f for f in files), files
 
 
+def test_changes_from_side_prunes_payload(tmp_path, spark):
+    """The from-side of a diff contributes only keys + stamps, so its
+    parquet scan must column-prune the wide payload (text): exactly one
+    of the two snapshot scans in the plan reads `text`."""
+    t = _table(spark, tmp_path)
+    apply_batch(t, _mk(spark, BATCH_1), batch_id=0)
+    v1 = t.snapshot_id()
+    apply_batch(t, _mk(spark, BATCH_2), batch_id=1)
+    v2 = t.snapshot_id()
+    plan = t.changes_between(v1, v2)._sc._jvm.PythonSQLUtils.explainString(
+        t.changes_between(v1, v2)._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(reads) == 2, plan
+    with_text = [r for r in reads if "text" in r]
+    assert len(with_text) == 1, reads
+
+
 def test_changes_across_schema_evolution(tmp_path, spark):
     """Diffing across an ALTER: the from-side (pre-evolution) aligns to
     the to-side schema with typed nulls; new-column values surface."""
