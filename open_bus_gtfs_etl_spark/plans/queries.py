@@ -3908,6 +3908,117 @@ GROUP BY doc_id
 """
 
 
+# shared char-bigram extraction: 2-char windows over the text, built
+# with an expression-only transform (no UDF); the size guard matters —
+# Spark's sequence(1, 0) generates a DESCENDING [1, 0] (auto step -1)
+# for 1-char docs instead of an empty list (same pitfall as t11)
+_CHAR_BIGRAMS = (
+    "CASE WHEN char_length(text) < 2 THEN array() "
+    "ELSE transform(sequence(1, char_length(text) - 1), "
+    "i -> substring(text, i, 2)) END"
+)
+
+
+def t15_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained character-bigram language-model quality score —
+    the perplexity-proxy gate of CCNet/Gopher-style pipelines (there a
+    pretrained KenLM; here the LM is trained on the corpus itself, so
+    the whole op stays self-contained and oracle-reproducible). A doc
+    whose character transitions are improbable under the corpus LM
+    (binary junk, encoding damage, keyboard mash) scores far below
+    prose; unlike t1's ratio heuristics this is a *statistical* quality
+    signal.
+
+    Two passes, both scale-shaped:
+
+    1. **Train**: explode char bigrams → map-side-combined count. The
+       model is at most |alphabet|² rows — its size is a property of
+       the ALPHABET, not the corpus, so it broadcasts at 100 TB just
+       as it does at sf0.01 (contrast a word-bigram LM, whose vocab
+       grows with the corpus). Add-one smoothing over the observed
+       next-char alphabet; log-probs are log2(cnt+1) − log2(ctx+A).
+    2. **Score**: explode doc bigrams → broadcast-join the LM →
+       per-doc mean log-prob. Every doc bigram is in the LM by
+       construction (trained on the same corpus), so the join is inner
+       with no OOV branch.
+
+    Cross-engine determinism: per-bigram log-probs are rounded to 6 dp
+    and cast to DECIMAL(20,6); the per-doc SUM is then exact decimal
+    arithmetic (order-independent), and both engines cast the SAME
+    exact decimal to double before the final divide+round — the a12
+    power-sum trick applied to logs."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_CHAR_BIGRAMS)).alias("bg")
+    )
+    cnt = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    # context totals and alphabet size as WINDOWS over cnt, not
+    # re-aggregations of grams: cnt is unpersisted lineage, so a
+    # groupBy-then-join-back formulation re-derives it and pays THREE
+    # extra corpus scans for a model that fits in one task. The global
+    # window is safe by the same alphabet bound that makes the LM
+    # broadcastable: cnt is ≤ |alphabet|² rows wherever the corpus is.
+    w_ctx = Window.partitionBy(F.substring("bg", 1, 1))
+    w_all = Window.partitionBy()
+    lm = cnt.select(
+        "bg",
+        F.round(
+            F.log2(F.col("c") + 1)
+            - F.log2(
+                F.sum("c").over(w_ctx)
+                + F.size(
+                    F.collect_set(F.substring("bg", 2, 1)).over(w_all)
+                )
+            ),
+            6,
+        )
+        .cast("decimal(20,6)")
+        .alias("lp"),
+    )
+    return (
+        grams.join(F.broadcast(lm), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("_slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("_slp").cast("double") / F.col("n_bigrams"), 6
+            ).alias("lm_score"),
+        )
+    )
+
+
+T15_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, length(text) + 1),
+                               i -> substr(text, i - 1, 2))) AS bg
+  FROM documents
+), cnt AS (
+  SELECT bg, COUNT(*) AS c FROM grams GROUP BY bg
+), ctx AS (
+  SELECT substr(bg, 1, 1) AS c1, SUM(c) AS ctx_n FROM cnt GROUP BY c1
+), alpha AS (
+  SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS a FROM cnt
+), lm AS (
+  SELECT bg,
+         CAST(round(log2(c + 1) - log2(ctx_n + a), 6) AS DECIMAL(20,6)) AS lp
+  FROM cnt JOIN ctx ON substr(cnt.bg, 1, 1) = ctx.c1 CROSS JOIN alpha
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_bigrams,
+       round(CAST(SUM(lm.lp) AS DOUBLE) / COUNT(*), 6) AS lm_score
+FROM grams g JOIN lm ON g.bg = lm.bg
+GROUP BY g.doc_id
+"""
+
+
 def a15_approx_distinct(spark, sf_dir):
     """HLL++ approximate distinct count with a CHECKED error bound —
     the sketch aggregate every 100-TB cardinality job leads with
@@ -4049,6 +4160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w12_range_frame_rolling": w12_range_frame_rolling,
     "w13_funnel_subsequence": w13_funnel_subsequence,
     "t14_token_entropy": t14_token_entropy,
+    "t15_bigram_lm_score": t15_bigram_lm_score,
     "a15_approx_distinct": a15_approx_distinct,
 }
 
@@ -4146,5 +4258,6 @@ ORACLES: dict[str, str] = {
     "w12_range_frame_rolling": W12_SQL,
     "w13_funnel_subsequence": W13_SQL,
     "t14_token_entropy": T14_SQL,
+    "t15_bigram_lm_score": T15_SQL,
     "a15_approx_distinct": A15_SQL,
 }
