@@ -67,6 +67,66 @@ def reprocess(spark, table, wal_dir: str, from_version: int, segments: list[int]
     return backfill(spark, table, wal_dir, segments, salted=salted)
 
 
+def sync_replica(source, replica, writer: str = "replica_sync") -> dict:
+    """R5 downstream half: maintain a replica/derived table FROM the
+    source's changelog — the changelog becomes the replica's WAL, so
+    the whole CDC loop closes on the engine's own primitives (the
+    reference's downstream consumers re-query full tables instead).
+
+    One call ships ``changes_between(last_synced, current)`` through
+    the same ``apply_batch`` merge kernel:
+
+    - **Resumable with no side ledger**: the sync's batch id IS the
+      source snapshot version, fenced under its own ``writer``
+      namespace — ``replica.last_committed_batch(writer)`` records how
+      far the replica has consumed, and a replayed/crashed-and-retried
+      sync is a no-op end to end.
+    - **Incremental I/O**: the diff reads only manifest-changed buckets
+      of the source (see ``changes_between``), and the merge rewrites
+      only touched buckets of the replica.
+    - **Idempotent + ordered**: the change feed carries the source's
+      commit stamps (``_commit_lsn``/``_commit_ts``) as its envelope,
+      so the replica's LWW gate orders overlapping syncs exactly like
+      any other CDC feed.
+
+    Retention contract: the source snapshot recorded as last-synced
+    must still be retained (``expire_snapshots`` keep window) when the
+    next sync runs — the same incremental-read contract Iceberg CDC
+    consumers sign. Returns the merge stats dict plus
+    ``synced_to_version`` (or ``skipped_up_to_date``).
+    """
+    from pyspark.sql import functions as F
+
+    from .merge import apply_batch
+
+    m = source.manifest()
+    v_to = source.snapshot_id()
+    last = replica.last_committed_batch(writer)
+    v_from = last if last >= 1 else 1
+    if v_from == v_to:
+        return {"skipped_up_to_date": True, "synced_to_version": v_to}
+    key_cols = m["key_cols"]
+    value_cols = [c for c in m["user_cols"] if c not in key_cols]
+    ch = source.changes_between(v_from, v_to)
+    # the merge envelope's single `ts` serves both as the user ts value
+    # and the LWW stamp (exactly like the upstream WAL feed) — the
+    # change feed's `_commit_ts` is the stored winner ts, so it IS the
+    # user ts for upserts and the tombstone stamp for deletes
+    batch = ch.select(
+        *key_cols,
+        *[c for c in value_cols if c != "ts"],
+        "op",
+        F.col("_commit_lsn").alias("lsn"),
+        F.col("_commit_ts").alias("ts"),
+    )
+    st = apply_batch(
+        replica, batch, batch_id=v_to, writer=writer,
+        key_cols=key_cols, value_cols=value_cols,
+    )
+    st["synced_to_version"] = v_to
+    return st
+
+
 def cleanup_consumed_segments(
     wal_dir: str,
     consumed: set[int],

@@ -326,8 +326,11 @@ class SnapshotParquetTable:
         Columns: ``op`` ('insert'|'update'|'delete'), the key columns,
         the ``v_to`` snapshot's value columns (typed nulls on deletes and
         on rows predating a schema evolution), and the ``v_to``-side
-        ``lsn``/``ts`` stamp (the tombstone's stamp for deletes; null
-        only if the row was physically GC'd rather than tombstoned).
+        ``_commit_lsn``/``_commit_ts`` stamp (the tombstone's stamp for
+        deletes; null only if the row was physically GC'd rather than
+        tombstoned). The stamps live in the engine's underscore
+        namespace because user columns may legitimately be named
+        ``lsn``/``ts`` (the transcript schema's own ``ts`` is).
 
         Scale shape, in order:
 
@@ -362,8 +365,8 @@ class SnapshotParquetTable:
             [T.StructField("op", T.StringType(), False)]
             + [T.StructField(c, types[c], True) for c in user_cols]
             + [
-                T.StructField("lsn", T.LongType(), True),
-                T.StructField("ts", T.TimestampType(), True),
+                T.StructField("_commit_lsn", T.LongType(), True),
+                T.StructField("_commit_ts", T.TimestampType(), True),
             ]
         )
         rf, rt = self._bucket_refs(m_from), self._bucket_refs(m_to)
@@ -405,7 +408,10 @@ class SnapshotParquetTable:
             F.coalesce(F.col(f"t.{k}"), F.col(f"f.{k}")).alias(k) for k in key_cols
         ]
         out += [F.col(f"t.{c}").alias(c) for c in value_cols]
-        out += [F.col("t._lsn").alias("lsn"), F.col("t._ts").alias("ts")]
+        out += [
+            F.col("t._lsn").alias("_commit_lsn"),
+            F.col("t._ts").alias("_commit_ts"),
+        ]
         return j.select(out).where(F.col("op").isNotNull())
 
     # ----------------------------------------------------------------- merge

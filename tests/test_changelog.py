@@ -101,12 +101,15 @@ def test_changes_between_ops(tmp_path, spark, mode):
         ("c-2", 0): "delete",
         ("c-4", 0): "insert",
     }
-    by_key = {(r.conv_id, r.turn_idx): r for r in ch.itertuples(index=False)}
-    assert by_key[("c-1", 1)].text == "hi there"
-    assert by_key[("c-1", 1)].lsn == 5
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in ch.to_dict("records")}
+    assert by_key[("c-1", 1)]["text"] == "hi there"
+    assert by_key[("c-1", 1)]["_commit_lsn"] == 5
     # delete carries the tombstone stamp and null values
-    assert by_key[("c-2", 0)].lsn == 6
-    assert pd.isna(by_key[("c-2", 0)].text)
+    assert by_key[("c-2", 0)]["_commit_lsn"] == 6
+    assert pd.isna(by_key[("c-2", 0)]["text"])
+    # the stamp columns live in the underscore namespace precisely so
+    # the user's own `ts` value column survives unshadowed
+    assert list(ch.columns).count("ts") == 1
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor"])
@@ -227,6 +230,60 @@ def test_changes_expired_snapshot_raises(tmp_path, spark):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         t.changes_between(v1, v3)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_sync_replica_closes_the_loop(tmp_path, spark, mode):
+    """The changelog feeds the merge kernel: a replica maintained purely
+    from changes_between tracks the source exactly, incrementally, and
+    idempotently (re-sync is fenced to a no-op)."""
+    from open_bus_gtfs_etl_spark.operators.maintenance import sync_replica
+
+    src = _table(spark, tmp_path / "s", mode=mode)
+    dst = SnapshotParquetTable.create(
+        spark, str(tmp_path / "d" / "lake"), TRANSCRIPTS_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=4,  # different bucketing
+    )
+    apply_batch(src, _mk(spark, BATCH_1), batch_id=0)
+    st = sync_replica(src, dst)
+    assert st["synced_to_version"] == src.snapshot_id()
+    pd.testing.assert_frame_equal(_state(dst.read()), _state(src.read()))
+
+    apply_batch(src, _mk(spark, BATCH_2), batch_id=1)
+    apply_batch(src, _mk(spark, BATCH_3), batch_id=2)
+    st = sync_replica(src, dst)  # one incremental sync over two commits
+    assert not st.get("skipped_fenced")
+    pd.testing.assert_frame_equal(_state(dst.read()), _state(src.read()))
+
+    st = sync_replica(src, dst)  # nothing new
+    assert st["skipped_up_to_date"]
+
+
+def test_sync_replica_replayed_wal(tmp_path, spark):
+    """Replica sync over a realistic multi-segment WAL replay: sync
+    after every segment; the replica ends equal to the fold oracle."""
+    from open_bus_gtfs_etl_spark.genlog import generate_events, write_wal
+    from open_bus_gtfs_etl_spark.operators.maintenance import sync_replica
+    from open_bus_gtfs_etl_spark.operators.merge import replay_wal
+    from open_bus_gtfs_etl_spark.oracle import fold_events
+
+    ev = generate_events(
+        spark, 8_000, n_conv=150, seed=7, dup_rate=0.05, ooo_rate=0.05,
+        seg_size=2_000,
+    )
+    wal = str(tmp_path / "wal")
+    segs = write_wal(ev, wal)
+    src = _table(spark, tmp_path)
+    dst = SnapshotParquetTable.create(
+        spark, str(tmp_path / "replica"), TRANSCRIPTS_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], n_buckets=8,
+    )
+    for seg in segs:
+        replay_wal(spark, src, wal, [seg])
+        sync_replica(src, dst)
+    got = _state(dst.read())
+    want = fold_events(ev.toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor"])
