@@ -1191,6 +1191,75 @@ def iceberg_wap_sequence(
     ]
 
 
+def iceberg_changelog_sql(
+    identifier: str,
+    key_cols: list[str],
+    user_cols: list[str],
+    start_snapshot_id: int,
+    end_snapshot_id: int,
+    view_name: str = "engine_changes",
+) -> list[tuple[str, str]]:
+    """Production mapping of ``SnapshotParquetTable.changes_between``:
+    Iceberg's ``create_changelog_view`` procedure plus a SELECT that
+    lifts the RAW storage-level change types through the soft-delete
+    layer into the engine's user-level feed.
+
+    The lift is the same truth table ``changes_between`` implements —
+    Iceberg only sees tombstone writes as ordinary row changes, so:
+
+    - after-image live, no before / before tombstoned  → ``insert``
+      (covers genuine inserts AND resurrection over a tombstone)
+    - after-image live, before live                    → ``update``
+    - after-image tombstoned, before live              → ``delete``
+    - tombstone→tombstone and fresh no-resurrect-guard tombstones are
+      storage noise, invisible at user level                → filtered
+
+    ``identifier_columns`` (the merge keys) make the procedure pair
+    UPDATE_BEFORE/UPDATE_AFTER images, which the before-join consumes;
+    the join is per ``_change_ordinal``, so a key changed by several
+    commits in the window yields one user-level row per commit — the
+    per-commit granular feed. The NET feed (what ``changes_between``
+    emits) is one net-effect compaction away (the m5 catalog shape).
+
+    Offline-bound like the other ``iceberg_*_sql`` generators: the
+    sandbox has no Iceberg runtime jar, so the statements are
+    unit-tested textually (tests/test_iceberg_sql.py) against the
+    snapshot store's oracle-verified semantics.
+    """
+    catalog, _, table = identifier.partition(".")
+    value_cols = [c for c in user_cols if c not in key_cols]
+    ids = ", ".join(f"'{k}'" for k in key_cols)
+    call = (
+        f"CALL {catalog}.system.create_changelog_view(\n"
+        f"  table => '{table}',\n"
+        f"  options => map('start-snapshot-id', '{start_snapshot_id}', "
+        f"'end-snapshot-id', '{end_snapshot_id}'),\n"
+        f"  changelog_view => '{view_name}',\n"
+        f"  identifier_columns => array({ids}),\n"
+        f"  compute_updates => true)"
+    )
+    key_eq = " AND ".join(f"b.{k} <=> a.{k}" for k in key_cols)
+    select_cols = ",\n       ".join(
+        [f"a.{k}" for k in key_cols]
+        + [f"a.{c}" for c in value_cols]
+        + ["a._lsn AS _commit_lsn", "a._ts AS _commit_ts"]
+    )
+    changes = (
+        f"SELECT CASE WHEN a._deleted THEN 'delete'\n"
+        f"            WHEN b._deleted IS NULL OR b._deleted THEN 'insert'\n"
+        f"            ELSE 'update' END AS op,\n"
+        f"       {select_cols}\n"
+        f"FROM {view_name} a\n"
+        f"LEFT JOIN {view_name} b\n"
+        f"  ON b._change_type = 'UPDATE_BEFORE'\n"
+        f" AND b._change_ordinal = a._change_ordinal\n"
+        f" AND {key_eq}\n"
+        f"WHERE a._change_type IN ('INSERT', 'UPDATE_AFTER')\n"
+        f"  AND NOT (a._deleted AND coalesce(b._deleted, TRUE))"
+    )
+    return [("create_view_call", call), ("changes_sql", changes)]
+
+
 def iceberg_expire_sql(identifier: str, keep_last: int) -> str:
     catalog, _, _ = identifier.partition(".")
     return (

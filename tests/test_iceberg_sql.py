@@ -227,3 +227,35 @@ def test_merge_wap_audit_refusal_publishes_nothing():
     assert st["audit_failed"] and st["staged_snapshot_id"] == 777
     assert not any("cherrypick" in q for q in sp.log)
     assert sp.conf.get("spark.wap.id") is None
+
+
+def test_changelog_sql_lifts_soft_deletes_to_user_ops():
+    from open_bus_gtfs_etl_spark.sources.lake import iceberg_changelog_sql
+
+    steps = dict(iceberg_changelog_sql(
+        "cat.db.transcripts", KEYS, KEYS + VALS,
+        start_snapshot_id=11, end_snapshot_id=42,
+    ))
+    call, sel = steps["create_view_call"], steps["changes_sql"]
+    # procedure targets the right catalog/table/window and pairs
+    # update images by the merge keys
+    assert call.startswith("CALL cat.system.create_changelog_view(")
+    assert "'start-snapshot-id', '11'" in call
+    assert "'end-snapshot-id', '42'" in call
+    assert "identifier_columns => array('conv_id', 'turn_idx')" in call
+    assert "compute_updates => true" in call
+    # the soft-delete lift: same truth table as changes_between
+    assert "WHEN a._deleted THEN 'delete'" in sel
+    assert "WHEN b._deleted IS NULL OR b._deleted THEN 'insert'" in sel
+    assert "ELSE 'update'" in sel
+    # only after-images drive rows; before-images join per ordinal
+    assert "a._change_type IN ('INSERT', 'UPDATE_AFTER')" in sel
+    assert "b._change_type = 'UPDATE_BEFORE'" in sel
+    assert "b._change_ordinal = a._change_ordinal" in sel
+    assert "b.conv_id <=> a.conv_id AND b.turn_idx <=> a.turn_idx" in sel
+    # storage noise never reaches the user feed: tombstone-over-
+    # tombstone and fresh no-resurrect-guard tombstones are filtered
+    assert "NOT (a._deleted AND coalesce(b._deleted, TRUE))" in sel
+    # stamps ride in the engine's underscore namespace, like
+    # changes_between
+    assert "a._lsn AS _commit_lsn" in sel and "a._ts AS _commit_ts" in sel
