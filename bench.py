@@ -290,7 +290,13 @@ def main() -> None:
     rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "4"))
     table_mode = os.environ.get("BENCH_TABLE_MODE", "cow")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    n_events = int(os.environ.get("BENCH_N_EVENTS", "32000000"))
+    # 64M default (was 32M): the 10^10-event target's steady-state unit
+    # is a ~10^8-event batch, and the ~5 s/batch serial floor amortizes
+    # with batch size — measured 1→4 medians 0.899/0.852 at 64M (runs
+    # G/H) vs 0.79-0.86 at 32M (runs B-F), with higher per-level
+    # throughput on BOTH sides (BENCH.md round-4 results). The official
+    # record should measure the engine in the regime it targets.
+    n_events = int(os.environ.get("BENCH_N_EVENTS", "64000000"))
     n_buckets = int(os.environ.get("BENCH_N_BUCKETS", "32"))
     scratch_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="bench_", dir=scratch_base)

@@ -103,6 +103,7 @@ def apply_batch(
     dedup: str = "auto",
     discovery: str = "auto",
     broadcast_keys: bool | str = "auto",
+    auto_compact: int | None = None,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``.
 
@@ -148,6 +149,15 @@ def apply_batch(
     new-column values — the merge projects the manifest's user_cols).
     Steady-state cost is zero: the registry probe runs only while the
     table is actually missing a known column.
+
+    ``auto_compact`` (merge-on-read tables): after a committed merge,
+    fold any bucket whose delta depth exceeds this bound back into its
+    base — the measured-economics cadence from BENCH.md ("read latency
+    +0.45 s/delta; compact ≈ one CoW rewrite of the touched buckets")
+    as an executable policy instead of a caller loop. ``None`` (default)
+    leaves compaction to the caller; fenced/no-op merges never compact.
+    Ignored by backends without ``compact`` (CoW has no deltas; Iceberg
+    runs its own rewrite_data_files maintenance).
     """
     key_cols = key_cols or KEY_COLS
     value_cols = value_cols or VALUE_COLS
@@ -216,6 +226,12 @@ def apply_batch(
             st["rows_deduped"] = st["n_source_rows"] - n_winners
         else:
             st["rows_deduped"] = None
+    if (
+        auto_compact is not None
+        and not st.get("skipped_fenced")
+        and hasattr(table, "compact")
+    ):
+        st["compacted_buckets"] = table.compact(max_deltas=auto_compact)
     return st
 
 
@@ -254,6 +270,7 @@ def replay_wal(
     newest_first: bool = False,
     min_plausible_rows: int | None = None,
     max_lsn_gap: int | None = None,
+    auto_compact: int | None = None,
 ) -> list[dict]:
     """Batch replay of a WAL segment range through the merge kernel —
     the backfill path (reference R2, load_missing_data.py:16-54: walk a
@@ -305,7 +322,7 @@ def replay_wal(
         st = apply_batch(
             table, batch,
             batch_id=None if newest_first else seg,
-            salted=salted, writer=writer,
+            salted=salted, writer=writer, auto_compact=auto_compact,
         )
         st["batch_id"] = seg
         if min_plausible_rows is not None and not st.get("skipped_fenced"):

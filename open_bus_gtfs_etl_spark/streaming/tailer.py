@@ -57,8 +57,13 @@ def start_tailer(
     available_now: bool = False,
     max_retries: int = 2,
     retry_backoff_sec: float = 0.0,
+    auto_compact: int | None = None,
 ):
     """Start the streaming merge-apply query.
+
+    ``auto_compact``: for merge-on-read tables, bound the delta depth
+    after each epoch (see ``apply_batch``) — the streaming steady state
+    the MoR economics table recommends (compact when depth > 4).
 
     ``wal_glob`` should cover the v2-schema segment files (e.g.
     ``{wal}/v2/seg=*``); for LIVE mixed-version ingestion use
@@ -86,7 +91,7 @@ def start_tailer(
     stream = reader.parquet(wal_glob)
     return _start(
         stream, table, checkpoint_dir, lineage, salted, available_now,
-        max_retries, retry_backoff_sec,
+        max_retries, retry_backoff_sec, auto_compact,
     )
 
 
@@ -102,6 +107,7 @@ def start_multi_tailer(
     available_now: bool = False,
     max_retries: int = 2,
     retry_backoff_sec: float = 0.0,
+    auto_compact: int | None = None,
 ):
     """Registry-driven mixed-version tailer: ONE streaming query over
     every schema version's WAL directory — live v1+v2 ingestion with no
@@ -158,7 +164,7 @@ def start_multi_tailer(
         stream = part if stream is None else stream.unionByName(part)
     return _start(
         stream, table, checkpoint_dir, lineage, salted, available_now,
-        max_retries, retry_backoff_sec,
+        max_retries, retry_backoff_sec, auto_compact,
     )
 
 
@@ -200,7 +206,7 @@ def _pin_versions(checkpoint_dir: str, versions: list[int]) -> None:
 
 def _start(
     stream, table, checkpoint_dir, lineage, salted, available_now,
-    max_retries, retry_backoff_sec,
+    max_retries, retry_backoff_sec, auto_compact=None,
 ):
     """Shared tail: fenced/retrying foreachBatch merge + checkpoint."""
     fence_writer = stream_writer_id(checkpoint_dir)
@@ -215,6 +221,7 @@ def _start(
                     table, batch_df, batch_id=batch_id, salted=salted,
                     writer=fence_writer,
                     stats="per_bucket" if lineage is not None else True,
+                    auto_compact=auto_compact,
                 )
                 if lineage is not None:
                     lineage.record(batch_id, st)

@@ -316,3 +316,14 @@ def test_lookup_reads_one_bucket(tmp_path, spark):
     ).first()["b"]
     files = df.inputFiles()
     assert files and all(f"_bucket={b}" in f for f in files), files
+    # within the bucket, the key predicate reaches the parquet scan as
+    # a pushed filter — row groups whose conv_id min/max exclude the
+    # key are skipped without decoding
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "conv_id" in pushed, plan

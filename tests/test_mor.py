@@ -125,3 +125,36 @@ def test_mor_expiry_keeps_live_deltas(tmp_path, spark):
     expired = t.expire_snapshots(keep_last=1)
     assert expired
     pd.testing.assert_frame_equal(_final(t), before, check_dtype=False)
+
+
+def test_auto_compact_bounds_delta_depth(tmp_path, spark):
+    """apply_batch(auto_compact=N) keeps every bucket's delta depth
+    bounded across a replay, final state still equals the oracle, and a
+    fenced re-apply never triggers a compaction commit."""
+    ev = generate_events(
+        spark, 6000, n_conv=100, seed=13, seg_size=1000,
+        dup_rate=0.05, ooo_rate=0.05,
+    )
+    wal = str(tmp_path / "wal")
+    segs = write_wal(ev, wal)
+    table = _mk(spark, tmp_path / "mor", "mor", n_buckets=4)
+    replay_wal(spark, table, wal, segs, auto_compact=2)
+    depths = [len(v) for v in table.manifest().get("deltas", {}).values()]
+    assert all(d <= 2 for d in depths), depths
+    pd.testing.assert_frame_equal(
+        _final(table), fold_events(ev.toPandas()), check_dtype=False
+    )
+    # fenced re-apply: no merge, no compact, no new snapshot
+    sid = table.snapshot_id()
+    replay_wal(spark, table, wal, segs, auto_compact=0)
+    assert table.snapshot_id() == sid
+
+    # auto_compact=0 folds EVERY delta: fresh table ends deltaless
+    t0 = _mk(spark, tmp_path / "mor0", "mor", n_buckets=4)
+    stats = replay_wal(spark, t0, wal, segs, auto_compact=0)
+    assert table.manifest()["mode"] == "mor"
+    assert not t0.manifest().get("deltas")
+    assert all("compacted_buckets" in s for s in stats)
+    pd.testing.assert_frame_equal(
+        _final(t0), fold_events(ev.toPandas()), check_dtype=False
+    )
