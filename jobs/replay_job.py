@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=256)
     ap.add_argument("--create", action="store_true")
     ap.add_argument("--salted", action="store_true")
+    ap.add_argument("--table-mode", choices=["cow", "mor"], default="cow",
+                    help="storage mode when --create: copy-on-write or "
+                         "merge-on-read (O(batch) writes + compaction)")
+    ap.add_argument("--auto-compact", type=int, default=None, metavar="N",
+                    help="merge-on-read: fold buckets whose delta depth "
+                         "exceeds N after each committed merge "
+                         "(recommended steady state: 4)")
     args = ap.parse_args()
 
     from open_bus_gtfs_etl_spark.schema import TRANSCRIPTS_SCHEMA
@@ -59,6 +66,7 @@ def main() -> None:
         table = SnapshotParquetTable.create(
             spark, args.table, TRANSCRIPTS_SCHEMA,
             key_cols=["conv_id", "turn_idx"], n_buckets=args.n_buckets,
+            mode=args.table_mode,
         )
     else:
         table = SnapshotParquetTable(spark, args.table)
@@ -77,7 +85,8 @@ def main() -> None:
                 if d.startswith("seg=")
             }
         )
-        stats = replay_wal(spark, table, args.wal, segs, salted=args.salted)
+        stats = replay_wal(spark, table, args.wal, segs, salted=args.salted,
+                           auto_compact=args.auto_compact)
         if lineage:
             for st in stats:
                 lineage.record(st["batch_id"], st)
@@ -94,6 +103,7 @@ def main() -> None:
             spark, table, wal_v2_glob(args.wal),
             args.checkpoint or os.path.join(args.table, "_checkpoint"),
             lineage=lineage, salted=args.salted,
+            auto_compact=args.auto_compact,
         )
         q.awaitTermination()
 
