@@ -4062,6 +4062,69 @@ GROUP BY event_type
 """
 
 
+def a16_approx_quantile_bound(spark, sf_dir):
+    """Approximate p95 with a CHECKED rank-error band — a15's contract
+    pattern applied to quantiles (the latency/size-distribution monitor
+    next to a15's cardinality monitor). percentile_approx's sketch
+    value is engine-specific, but its guarantee is not: with accuracy
+    A the returned value's RANK is within n/A of the target. The query
+    audits that guarantee against the EXACT nearest-rank values at the
+    ±1% rank band edges (a13's integer-ceil machinery, so the band
+    itself is oracle-reproducible): band edges ⌈0.94n⌉ and ⌈0.96n⌉,
+    sketch run at accuracy 1000 (±0.1% rank) — a 10× margin the sketch
+    must clear on any data. Scale shape: ONE per-group sort pass
+    (the window) feeding both the band-edge selection and the sketch
+    aggregate — no second scan; at production scale the sketch runs
+    alone (mergeable, one ~KB state per group through the shuffle)
+    and the exact band exists only for the audit."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")
+        ).alias("n"),
+    )
+    lo_rn = F.expr("GREATEST(1, (n * 94 + 99) DIV 100)")
+    hi_rn = F.expr("LEAST(n, (n * 96 + 99) DIV 100)")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == lo_rn, F.col("value"))).alias("p95_lo"),
+            F.max(F.when(F.col("rn") == hi_rn, F.col("value"))).alias("p95_hi"),
+            F.percentile_approx("value", 0.95, 1000).alias("_p95_sketch"),
+        )
+        .select(
+            "event_type",
+            "p95_lo",
+            "p95_hi",
+            (
+                (F.col("_p95_sketch") >= F.col("p95_lo"))
+                & (F.col("_p95_sketch") <= F.col("p95_hi"))
+            ).alias("within_band"),
+        )
+    )
+
+
+A16_SQL = """
+WITH ranked AS (
+  SELECT event_type, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = GREATEST(1, (n * 94 + 99) // 100) THEN v END) AS p95_lo,
+       MAX(CASE WHEN rn = LEAST(n, (n * 96 + 99) // 100) THEN v END) AS p95_hi,
+       TRUE AS within_band
+FROM ranked
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4162,6 +4225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t14_token_entropy": t14_token_entropy,
     "t15_bigram_lm_score": t15_bigram_lm_score,
     "a15_approx_distinct": a15_approx_distinct,
+    "a16_approx_quantile_bound": a16_approx_quantile_bound,
 }
 
 ORACLES: dict[str, str] = {
@@ -4260,4 +4324,5 @@ ORACLES: dict[str, str] = {
     "t14_token_entropy": T14_SQL,
     "t15_bigram_lm_score": T15_SQL,
     "a15_approx_distinct": A15_SQL,
+    "a16_approx_quantile_bound": A16_SQL,
 }
