@@ -3531,6 +3531,125 @@ WHERE ROUND(CAST(inter AS DOUBLE)
 """
 
 
+def e6_embedding_quantize(spark, sf_dir):
+    """Deterministic int8 scalar quantization of the embedding corpus —
+    the ANN-index storage compressor (4× memory vs float32, the knob
+    that decides whether the e2/e4 IVF index fits executor memory at
+    100 TB). Codes are q_i = floor(x_i·127/s + 0.5) under ONE global
+    scale s = max|x| over the corpus: max-SELECTION is exact (no float
+    accumulation), so both engines derive the identical s from their
+    own scan and every downstream IEEE op matches bit-for-bit — floor
+    is used instead of round() because the two engines' round-half
+    conventions differ while floor(x + 0.5) is pure IEEE.
+
+    The parity surface is audit scalars, not the code arrays: exact
+    integer Σq and Σq² (a collision-resistant-enough checksum of the
+    codes for a fixed dimension count) plus the mean reconstruction
+    error — per-element errors rounded to 9 dp and summed as exact
+    DECIMAL so the mean is order-independent (the a12/t15 trick).
+    Scale shape: one map-combined max pass, the scalar broadcast into
+    a second scan's per-row array expressions; nothing shuffles but
+    the scalar."""
+    e = _t(spark, sf_dir, "embeddings")
+    s = e.agg(
+        F.max(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+            )
+        ).alias("s")
+    ).collect()[0]["s"]
+    q = lambda x: F.floor(x.cast("double") * 127.0 / F.lit(s) + 0.5)  # noqa: E731
+    codes = F.transform("embedding", lambda x: q(x).cast("bigint"))
+    err = F.transform(
+        "embedding",
+        lambda x: F.round(
+            F.abs(x.cast("double") - q(x) * F.lit(s) / 127.0), 9
+        ).cast("decimal(20,9)"),
+    )
+    zero = F.lit(0).cast("bigint")
+    dzero = F.lit(0).cast("decimal(30,9)")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.aggregate(codes, zero, lambda a, x: a + x).alias("code_sum"),
+        F.aggregate(codes, zero, lambda a, x: a + x * x).alias("code_sq_sum"),
+        F.round(
+            F.aggregate(
+                err, dzero,
+                # re-cast: decimal + decimal widens the scale-30 acc to
+                # (31,9) and aggregate() requires merge type == acc type
+                lambda a, x: (a + x).cast("decimal(30,9)"),
+            ).cast("double")
+            / F.size("embedding"),
+            6,
+        ).alias("recon_err"),
+    )
+
+
+E6_SQL = """
+WITH sc AS (
+  SELECT MAX(list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE))))) AS s
+  FROM embeddings
+)
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc.s + 0.5) AS BIGINT)))
+            AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc.s + 0.5)
+                      * floor(CAST(x AS DOUBLE) * 127.0 / sc.s + 0.5) AS BIGINT)))
+            AS BIGINT) AS code_sq_sum,
+       round(CAST(list_sum(list_transform(embedding,
+            x -> CAST(round(abs(CAST(x AS DOUBLE)
+                       - floor(CAST(x AS DOUBLE) * 127.0 / sc.s + 0.5)
+                         * sc.s / 127.0), 9) AS DECIMAL(20,9)))) AS DOUBLE)
+             / len(embedding), 6) AS recon_err
+FROM embeddings, sc
+"""
+
+
+def d10_cross_source_overlap(spark, sf_dir):
+    """Cross-SOURCE exact-duplicate overlap matrix — the dataset-mixing
+    audit run before combining corpora ("how much of source A is
+    already in source B"): for every source pair, the count of distinct
+    text digests present in both. d1 dedups the union blindly; this
+    attributes the duplication to its source pair, which decides
+    whether a new corpus is worth ingesting at all and which side's
+    copies to keep (provenance-priority dedup).
+
+    Scale shape: texts collapse to md5 digests immediately (32-byte
+    keys shuffle, never the payload), per-(source, digest) distinct is
+    one map-combined aggregation, and the pair matrix comes from a
+    digest self-join whose fan-out per digest is |sources-containing|²
+    — bounded by the source count (a corpus has a handful), never by
+    corpus size. Output ordered pairs source_a < source_b."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("source", F.md5("text").alias("h")).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+
+
+D10_SQL = """
+WITH sh AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_texts
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def t13_hapax_ratio(spark, sf_dir):
     """Hapax-legomena ratio per language — the fraction of the
     vocabulary occurring exactly once, the classic corpus-health /
@@ -4226,6 +4345,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t15_bigram_lm_score": t15_bigram_lm_score,
     "a15_approx_distinct": a15_approx_distinct,
     "a16_approx_quantile_bound": a16_approx_quantile_bound,
+    "d10_cross_source_overlap": d10_cross_source_overlap,
+    "e6_embedding_quantize": e6_embedding_quantize,
 }
 
 ORACLES: dict[str, str] = {
@@ -4325,4 +4446,6 @@ ORACLES: dict[str, str] = {
     "t15_bigram_lm_score": T15_SQL,
     "a15_approx_distinct": A15_SQL,
     "a16_approx_quantile_bound": A16_SQL,
+    "d10_cross_source_overlap": D10_SQL,
+    "e6_embedding_quantize": E6_SQL,
 }
