@@ -4244,6 +4244,106 @@ GROUP BY event_type
 """
 
 
+def c6_quantile_trim(spark, sf_dir):
+    """Per-group exact-quantile trimming (winsorize-by-rank): keep
+    documents whose length sits within their SOURCE's [p10, p90]
+    nearest-rank band, then roll up what survived — the outlier gate a
+    curation pipeline runs between profiling (a13) and the quality
+    decision (c3), with the thresholds computed FROM the data per
+    group rather than hand-set. Nearest-rank (integer-ceil) selection
+    keeps both engines bit-identical where interpolating percentiles
+    are not (a13's determinism argument).
+
+    100-TB shape: the quantile pass is one partition-local sort per
+    group (what any exact order statistic costs) and emits ONE ROW PER
+    SOURCE — that frame broadcasts back onto the corpus, so the trim
+    itself is a scan + broadcast-hash-join + map-side-combined rollup:
+    the corpus never shuffles on the group key a second time.
+    Plan-pinned in tests/test_plans.py (BroadcastHashJoin + partial
+    aggregation)."""
+    from ..operators.stats import exact_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    q = exact_quantiles(d, "source", "n_chars", "doc_id", [10, 90])
+    return (
+        d.join(F.broadcast(q), "source")
+        .filter(F.col("n_chars").between(F.col("p10"), F.col("p90")))
+        .groupBy("source", "p10", "p90")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+C6_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), q AS (
+  SELECT source,
+         MAX(CASE WHEN rn = (n * 10 + 99) // 100 THEN n_chars END) AS p10,
+         MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS p90
+  FROM ranked
+  WHERE rn = (n * 10 + 99) // 100 OR rn = (n * 90 + 99) // 100
+  GROUP BY source
+)
+SELECT d.source, q.p10, q.p90,
+       COUNT(*) AS n_kept,
+       CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN q ON d.source = q.source
+WHERE d.n_chars BETWEEN q.p10 AND q.p90
+GROUP BY d.source, q.p10, q.p90
+"""
+
+
+def j13_salted_skew_join(spark, sf_dir):
+    """Explicitly skew-salted equi-join (operators/skewjoin.py): the
+    events fact — whose join key ``event_type`` has single-digit
+    cardinality over the whole table, the worst-case hot-key
+    distribution — joined to a derived per-type dim (the per-domain
+    stats frame a curation pipeline computes in a prior pass). The
+    fact rows are salted by ``pmod(xxhash64(event_id), 8)``, the dim
+    is exploded into 8 salt replicas, and the join runs on
+    ``(event_type, _salt)`` under a shuffle_hash hint — so the hottest
+    key's rows spread over 8 reducers instead of crushing one. The
+    oracle is the PLAIN join: salting must be row-for-row invisible in
+    the result. At test scale a broadcast would of course win — the
+    operator exists for dims that outgrow broadcast while the fact key
+    stays skewed (AQE's skew split only rescues sort-merge joins);
+    plan-pinned: salt in the join keys, dim replicated by explode, no
+    BroadcastHashJoin. Output sums go through DECIMAL (a1's
+    order-independence rule)."""
+    from ..operators.skewjoin import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("type_users")
+    )
+    joined = salted_join(
+        ev, dim, on=["event_type"], salt_cols=["event_id"], n_salts=8
+    )
+    return joined.groupBy("event_type", "type_users").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+J13_SQL = """
+WITH dim AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS type_users
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, dim.type_users,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim ON e.event_type = dim.event_type
+GROUP BY e.event_type, dim.type_users
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4312,6 +4412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_cube": a10_cube,
     "c4_pii_scrub": c4_pii_scrub,
     "c5_domain_rebalance": c5_domain_rebalance,
+    "c6_quantile_trim": c6_quantile_trim,
     "v2_sequence_packing": v2_sequence_packing,
     "t9_tfidf": t9_tfidf,
     "j10_interval_join": j10_interval_join,
@@ -4325,6 +4426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d8_dup_passage_fraction": d8_dup_passage_fraction,
     "w9_locf_gap_fill": w9_locf_gap_fill,
     "j12_null_safe_join": j12_null_safe_join,
+    "j13_salted_skew_join": j13_salted_skew_join,
     "w10_activity_streaks": w10_activity_streaks,
     "m5_changelog_compaction": m5_changelog_compaction,
     "e4_knn_graph": e4_knn_graph,
@@ -4413,6 +4515,7 @@ ORACLES: dict[str, str] = {
     "a10_cube": A10_SQL,
     "c4_pii_scrub": C4_SQL,
     "c5_domain_rebalance": C5_SQL,
+    "c6_quantile_trim": C6_SQL,
     "v2_sequence_packing": V2_SQL,
     "t9_tfidf": T9_SQL,
     "j10_interval_join": J10_SQL,
@@ -4426,6 +4529,7 @@ ORACLES: dict[str, str] = {
     "d8_dup_passage_fraction": D8_SQL,
     "w9_locf_gap_fill": W9_SQL,
     "j12_null_safe_join": J12_SQL,
+    "j13_salted_skew_join": J13_SQL,
     "w10_activity_streaks": W10_SQL,
     "m5_changelog_compaction": M5_SQL,
     "e4_knn_graph": E4_SQL,

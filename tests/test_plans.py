@@ -376,3 +376,30 @@ def test_funnel_single_window_exchange(spark):
     assert plan.count("FileScan") == 1, plan
     # one exchange for the windows + the distinct-agg's own exchanges
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_quantile_trim_broadcasts_group_frame(spark):
+    """c6: the per-source quantile frame (one row per group) must come
+    back onto the corpus as a BROADCAST hash join — a second shuffle of
+    the corpus on the group key would double the operator's cost at
+    100 TB — and the final rollup must combine map-side."""
+    from open_bus_gtfs_etl_spark.plans.queries import c6_quantile_trim
+
+    plan = _plan(c6_quantile_trim(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """j13: the salt must actually be in the join keys, the dim must be
+    replicated by explode (Generate), and the join must NOT be a
+    broadcast — a broadcast would silently skip the path under test
+    (the operator exists for dims that outgrow broadcast)."""
+    from open_bus_gtfs_etl_spark.plans.queries import j13_salted_skew_join
+
+    plan = _plan(j13_salted_skew_join(spark, SF))
+    assert "_salt" in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan

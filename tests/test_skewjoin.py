@@ -1,0 +1,77 @@
+"""salted_join: row-for-row equality with the plain join, hot-key
+spreading, and determinism (the salt is a hash, not rand())."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_bus_gtfs_etl_spark.operators.skewjoin import salted_join
+
+
+def _frames(spark, n=5000):
+    # 90% of rows on one hot key - the distribution the operator exists for
+    big = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold_"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+        (F.col("id") * 3 % 101).alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"cold_{i}", 10 + i) for i in range(7)] + [("unmatched", 99)],
+        ["k", "weight"],
+    )
+    return big, dim
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_equals_plain_inner_join(spark):
+    big, dim = _frames(spark)
+    got = salted_join(big, dim, on=["k"], salt_cols=["row_id"], n_salts=8)
+    want = big.join(dim, "k")
+    assert _sorted_rows(got.select("k", "row_id", "v", "weight")) == _sorted_rows(
+        want.select("k", "row_id", "v", "weight")
+    )
+
+
+def test_equals_plain_left_join(spark):
+    big, dim = _frames(spark)
+    # drop the hot key from the dim so left-join misses produce nulls
+    d = dim.filter(F.col("k") != "hot")
+    got = salted_join(big, dim.filter(F.col("k") != "hot"),
+                      on=["k"], salt_cols=["row_id"], n_salts=4, how="left")
+    want = big.join(d, "k", "left")
+    assert _sorted_rows(got.select("k", "row_id", "weight")) == _sorted_rows(
+        want.select("k", "row_id", "weight")
+    )
+
+
+def test_salt_actually_spreads(spark):
+    """The hot key's rows must land on >1 (key, salt) bucket - the
+    whole point. Checked at the data level: distinct salt values
+    observed for the hot key."""
+    big, dim = _frames(spark)
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64("row_id"), F.lit(8)).cast("int")
+    )
+    n_buckets = (
+        b.filter(F.col("k") == "hot").select("_salt").distinct().count()
+    )
+    assert n_buckets == 8
+
+
+def test_deterministic_across_runs(spark):
+    big, dim = _frames(spark, n=997)
+    a = _sorted_rows(salted_join(big, dim, ["k"], ["row_id"], n_salts=16))
+    b = _sorted_rows(salted_join(big, dim, ["k"], ["row_id"], n_salts=16))
+    assert a == b
+
+
+def test_n_salts_validation(spark):
+    big, dim = _frames(spark, n=10)
+    with pytest.raises(ValueError):
+        salted_join(big, dim, ["k"], ["row_id"], n_salts=0)
