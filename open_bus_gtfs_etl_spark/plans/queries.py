@@ -739,6 +739,53 @@ SELECT user_id, turn, event_id, event_type, value FROM (
 """
 
 
+def m8_schema_evolution_cdc(spark, sf_dir):
+    """Mixed-schema-version CDC fold, driver-checkable: the north
+    rule's late-added-column evolution case expressed as a query. One
+    third of the feed (event_id % 3 == 0) arrives in the PRE-EVOLUTION
+    envelope — the ``props`` payload column does not exist yet — and
+    is aligned to the target schema by the engine's own
+    ``align_to_schema`` (operators/merge.py:31: missing columns become
+    typed nulls, column order fixed — the same function every merge
+    batch passes through, registry.py's batch-side half of evolution).
+    The aligned union then runs the m1 LWW fold unchanged: v1 rows
+    carry a NULL turn key (their payload predates it) and LWW-collapse
+    per user within the NULL-key group, exactly what the oracle
+    computes inline. Proves align-then-fold ≡ fold-with-inline-nulls —
+    the semantic the streaming multi-version tailer
+    (streaming/tailer.py:start_multi_tailer) relies on per batch.
+    100-TB shape: alignment is a zero-cost projection (no shuffle,
+    no scan widening); the union adds no exchange — both branches
+    flow into the same window shuffle."""
+    from ..operators.merge import align_to_schema
+
+    ev = _t(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 3 == 0).drop("props")
+    v2 = ev.filter(F.col("event_id") % 3 != 0)
+    aligned = align_to_schema(v1, ev.schema).unionByName(
+        align_to_schema(v2, ev.schema)
+    )
+    return _cdc_final_state(aligned)
+
+
+M8_SQL = """
+SELECT user_id, turn, event_id, event_type, value FROM (
+  SELECT user_id, turn, op, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, turn
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM (
+    SELECT user_id,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE CAST(json_extract_string(props, '$.k') AS INT) % 16
+           END AS turn,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+           ts, event_id, event_type, value
+    FROM events
+  )
+) WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 # --------------------------------------------------------------------------
 # S — streaming-shaped analytics (SURVEY §2.10)
 # --------------------------------------------------------------------------
@@ -4437,6 +4484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a13_exact_quantiles": a13_exact_quantiles,
     "m6_mor_read_view": m6_mor_read_view,
     "m7_incremental_view_maintenance": m7_incremental_view_maintenance,
+    "m8_schema_evolution_cdc": m8_schema_evolution_cdc,
     "d9_containment_pairs": d9_containment_pairs,
     "t13_hapax_ratio": t13_hapax_ratio,
     "e5_cluster_quality": e5_cluster_quality,
@@ -4540,6 +4588,7 @@ ORACLES: dict[str, str] = {
     "a13_exact_quantiles": A13_SQL,
     "m6_mor_read_view": M6_SQL,
     "m7_incremental_view_maintenance": M7_SQL,
+    "m8_schema_evolution_cdc": M8_SQL,
     "d9_containment_pairs": D9_SQL,
     "t13_hapax_ratio": T13_SQL,
     "e5_cluster_quality": E5_SQL,

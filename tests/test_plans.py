@@ -403,3 +403,14 @@ def test_salted_join_spreads_hot_key(spark):
     assert "Generate explode" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_schema_evolution_union_single_exchange(spark):
+    """m8: aligning the pre-evolution branch is a pure projection and
+    the union must flow into the LWW window's ONE exchange — evolution
+    may not add a shuffle or a second scan pass per version."""
+    from open_bus_gtfs_etl_spark.plans.queries import m8_schema_evolution_cdc
+
+    plan = _plan(m8_schema_evolution_cdc(spark, SF))
+    assert "Union" in plan, plan
+    assert plan.count("Exchange") == 1, plan
