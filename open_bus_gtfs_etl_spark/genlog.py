@@ -184,21 +184,34 @@ def write_wal(events: DataFrame, wal_dir: str, manifests: bool = True) -> list[i
     """
     import json
 
+    import pyarrow.parquet as pq
+
     v1 = events.where((F.col("schema_ver") == 1)).drop("tool")
     v2 = events.where(F.col("schema_ver") == 2)
     v1.write.mode("append").partitionBy("seg").parquet(os.path.join(wal_dir, "v1"))
     v2.write.mode("append").partitionBy("seg").parquet(os.path.join(wal_dir, "v2"))
-    counts = {
-        (r["ver"], int(r["seg"])): r["n"]
-        for r in (
-            events.groupBy(
-                F.when(F.col("schema_ver") == 1, "v1").otherwise("v2").alias("ver"),
-                "seg",
-            )
-            .agg(F.count("*").alias("n"))
-            .collect()
-        )
-    }
+    # manifest counts come from the WRITTEN files' parquet footers
+    # (driver-side metadata reads, same mechanism validate_segment
+    # checks against) — a groupBy((ver, seg)).count() over the events
+    # frame would be a third full evaluation of the generator
+    # expressions, ~1/3 of total generation wall at 64M events, and
+    # the completeness token should describe what is on disk anyway
+    counts: dict[tuple[str, int], int] = {}
+    for ver in ("v1", "v2"):
+        vdir = os.path.join(wal_dir, ver)
+        if not os.path.isdir(vdir):
+            continue
+        for d in os.listdir(vdir):
+            if not d.startswith("seg="):
+                continue
+            seg_id = int(d.split("seg=")[1])
+            n = 0
+            for fn in os.listdir(os.path.join(vdir, d)):
+                if fn.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(vdir, d, fn)
+                    ).metadata.num_rows
+            counts[(ver, seg_id)] = n
     segs = sorted({s for (_, s) in counts})
     if manifests:
         for (ver, seg), n in counts.items():
