@@ -181,6 +181,15 @@ def write_wal(events: DataFrame, wal_dir: str, manifests: bool = True) -> list[i
     all 4 expected files exist with size>1000,
     update_gtfs_data_db.py:33-47; a producer-written manifest is the
     WAL-segment equivalent of "all files present and big enough").
+
+    CUMULATIVE semantics: counts come from the parquet footers of
+    everything on disk, so with ``mode('append')`` into a pre-populated
+    ``wal_dir`` the manifests and the returned ``segs`` cover ALL
+    rows/segments present, not just this call's batch — deliberately
+    consistent with ``validate_segment``, which checks the same on-disk
+    totals. A ``seg=`` directory whose suffix is not an integer (stray
+    dir, null-partition placeholder) raises ``ValueError`` naming the
+    directory rather than crashing opaquely mid-scan.
     """
     import json
 
@@ -204,7 +213,14 @@ def write_wal(events: DataFrame, wal_dir: str, manifests: bool = True) -> list[i
         for d in os.listdir(vdir):
             if not d.startswith("seg="):
                 continue
-            seg_id = int(d.split("seg=")[1])
+            raw = d.split("seg=", 1)[1]
+            if not raw.lstrip("-").isdigit():
+                raise ValueError(
+                    f"write_wal: unparsable WAL partition dir {ver}/{d!r} — "
+                    f"expected seg=<int>; a null/invalid seg value or a stray "
+                    f"directory is corrupting the WAL layout"
+                )
+            seg_id = int(raw)
             n = 0
             for fn in os.listdir(os.path.join(vdir, d)):
                 if fn.endswith(".parquet"):

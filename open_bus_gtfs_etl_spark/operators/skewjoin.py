@@ -59,10 +59,33 @@ def salted_join(
     path under test.
 
     Returns ``big``'s rows joined to ``dim``'s non-key columns, salt
-    column dropped — same contract as ``big.join(dim, on, how)``.
+    column dropped — same contract as ``big.join(dim, on, how)`` for
+    the big-side-preserving modes listed below.
+
+    ``how`` is restricted to ``inner | left | left_semi | left_anti``:
+    the dim side is replicated ``n_salts`` times, so any mode that
+    emits dim rows without a big-side match (right/full/outer) would
+    emit each unmatched dim key once PER REPLICA plus spurious
+    null-padded rows for salt buckets with no big rows — silently
+    wrong. To salt a right join, swap the arguments.
     """
+    salt_safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                 "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in salt_safe:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe — dim-side replication "
+            f"breaks right/full/outer joins (unmatched dim keys would appear "
+            f"n_salts times). Allowed: inner, left, left_semi, left_anti; "
+            f"swap the arguments to salt a right join."
+        )
     if not 1 <= n_salts <= 4096:
         raise ValueError(f"n_salts must be in [1, 4096], got {n_salts}")
+    for frame, name in ((big, "big"), (dim, "dim")):
+        if "_salt" in frame.columns:
+            raise ValueError(
+                f"salted_join: {name} side already has a '_salt' column — "
+                f"it would be silently overwritten and dropped; rename it first"
+            )
     salt: Column = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
     b = big.withColumn("_salt", salt.cast("int"))
     d = dim.withColumn(

@@ -4,7 +4,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from open_bus_gtfs_etl_spark.genlog import generate_events, read_wal_segment, write_wal
+from open_bus_gtfs_etl_spark.genlog import (
+    generate_events,
+    read_wal_segment,
+    validate_segment,
+    write_wal,
+)
 
 
 def test_deterministic(spark):
@@ -80,3 +85,43 @@ def test_wal_roundtrip(tmp_path, spark):
     assert "tool" not in raw.columns
     aligned = read_wal_segment(spark, wal, v1seg)
     assert "tool" in aligned.columns
+
+
+def test_write_wal_rejects_unparsable_seg_dir(tmp_path, spark):
+    """A stray/non-integer seg= dir must raise a named ValueError, not
+    an opaque int() crash mid-scan (round-4 advice)."""
+    import os
+
+    import pytest
+
+    df = generate_events(spark, 500, seed=42, seg_size=250, v2_start_lsn=250)
+    wal = str(tmp_path / "wal")
+    write_wal(df, wal)
+    os.makedirs(os.path.join(wal, "v2", "seg=__HIVE_DEFAULT_PARTITION__"))
+    with pytest.raises(ValueError, match="unparsable WAL partition dir"):
+        write_wal(df, wal)
+
+
+def test_write_wal_append_counts_are_cumulative(tmp_path, spark):
+    """mode('append') into a pre-populated wal_dir: manifests and segs
+    cover everything ON DISK (documented cumulative semantics), matching
+    what validate_segment checks."""
+    import json
+    import os
+
+    df = generate_events(spark, 400, seed=42, seg_size=200, v2_start_lsn=200, dup_rate=0)
+    wal = str(tmp_path / "wal")
+    write_wal(df, wal)
+    write_wal(df, wal)  # append the same batch again
+    seg0 = os.path.join(wal, "v1", "seg=0")
+    with open(os.path.join(seg0, "_SEGMENT.json")) as f:
+        man = json.load(f)
+    actual = 0
+    import pyarrow.parquet as pq
+
+    for fn in os.listdir(seg0):
+        if fn.endswith(".parquet"):
+            actual += pq.ParquetFile(os.path.join(seg0, fn)).metadata.num_rows
+    assert man["n_rows"] == actual  # cumulative, footer-derived
+    ok, reason = validate_segment(wal, 0)
+    assert ok, reason

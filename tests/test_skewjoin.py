@@ -75,3 +75,25 @@ def test_n_salts_validation(spark):
     big, dim = _frames(spark, n=10)
     with pytest.raises(ValueError):
         salted_join(big, dim, ["k"], ["row_id"], n_salts=0)
+
+
+def test_unsafe_how_rejected(spark):
+    """Dim-side replication breaks right/full/outer joins (an unmatched
+    dim key would appear once per salt replica) — those modes must be
+    rejected loudly, not silently wrong (round-4 advice)."""
+    big, dim = _frames(spark, n=100)
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="not salt-safe"):
+            salted_join(big, dim, on=["k"], salt_cols=["row_id"], how=how)
+
+
+def test_preexisting_salt_column_rejected(spark):
+    """A caller frame that already carries `_salt` would have it
+    silently overwritten and dropped — reject instead (round-4 advice)."""
+    big, dim = _frames(spark, n=100)
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(big.withColumn("_salt", F.lit(1)), dim,
+                    on=["k"], salt_cols=["row_id"])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(big, dim.withColumn("_salt", F.lit(1)),
+                    on=["k"], salt_cols=["row_id"])
