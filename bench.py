@@ -32,10 +32,16 @@ deferred while the probe reads below GATE_FLOOR (0.75) of the decaying
 session-best baseline, and ALL raw samples and pairs stay in the
 record with their probes.
 
-Prints ONE JSON line:
-  {"metric": "change-events/sec", "value": N, "unit": "events/sec",
-   "queries": {...per-query seconds...}, "sf": ..., "replay": {...},
-   "scaling": {...}}
+Output contract (round-5 fix — the round-4 record was lost to tail
+truncation: one giant JSON line with methodology prose and every raw
+sample overflowed the driver's capture window, `parsed: null`):
+- stdout's LAST line is a COMPACT summary JSON (<2 KB): headline
+  ev/s, per-query seconds, MoR number, scaling efficiency with the
+  qualified-pair list — everything the per-round record needs;
+- the full record (methodology prose, every raw sample with launch
+  AND completion probes, suspect/low-window pair lists) goes to a
+  sidecar file, default ``bench/bench_r5_detail.json`` in the repo
+  (override: ``BENCH_DETAIL_PATH``), whose path the summary carries.
 """
 
 from __future__ import annotations
@@ -234,6 +240,46 @@ def _headline_effs(pairs: list[dict]) -> list[float]:
     return gated or good
 
 
+def _compact_summary(detail: dict) -> dict:
+    """The one-line record printed LAST on stdout. Everything the
+    driver's per-round BENCH_r{N}.json needs, nothing that can overflow
+    a tail capture (round-4's record was `parsed: null` because the
+    single line carried methodology prose and every raw sample). The
+    full record lives in the sidecar named by ``detail`` → ``detail_path``.
+    Unit-tested to stay under 2 KB at the catalog's query count."""
+    sc = detail["scaling"]
+    rp = detail["replay"]
+    head = rp.get("headline") or {}
+    return {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "sf": detail["sf"],
+        "queries": detail["queries"],
+        "replay": {
+            "n_events": rp["n_events"],
+            "n_buckets": rp["n_buckets"],
+            "table_mode": rp["table_mode"],
+            "mor_events_per_sec_high": rp["mor_events_per_sec_high"],
+            "headline_cores": head.get("cores"),
+            "headline_events_per_sec": head.get("events_per_sec"),
+        },
+        "scaling": {
+            "cpus_low": sc["cpus_low"],
+            "cpus_high": sc["cpus_high"],
+            "events_per_sec_low": sc["events_per_sec_low"],
+            "events_per_sec_high": sc["events_per_sec_high"],
+            "efficiency": sc["efficiency"],
+            "efficiency_best_pair": sc["efficiency_best_pair"],
+            "n_pairs": sc["n_pairs"],
+            "n_qualified": len(sc["headline_pair_efficiencies"]),
+            "qualified_pair_efficiencies": sc["headline_pair_efficiencies"],
+            "suspect_pair_efficiencies": sc["suspect_pair_efficiencies"],
+            "detail": detail.get("detail_path"),
+        },
+    }
+
+
 def _median(xs: list[float]) -> float | None:
     if not xs:
         return None
@@ -290,13 +336,15 @@ def main() -> None:
     rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "4"))
     table_mode = os.environ.get("BENCH_TABLE_MODE", "cow")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    # 64M default (was 32M): the 10^10-event target's steady-state unit
-    # is a ~10^8-event batch, and the ~5 s/batch serial floor amortizes
-    # with batch size — measured 1→4 medians 0.899/0.852 at 64M (runs
-    # G/H) vs 0.79-0.86 at 32M (runs B-F), with higher per-level
-    # throughput on BOTH sides (BENCH.md round-4 results). The official
-    # record should measure the engine in the regime it targets.
-    n_events = int(os.environ.get("BENCH_N_EVENTS", "64000000"))
+    # 128M default (was 64M in r4, 32M in r3): the 10^10-event target's
+    # steady-state unit is a ~10^8-event batch and the ~5 s/batch serial
+    # floor amortizes with batch size — measured 1→4 medians 0.78-0.84
+    # at 16→32M, 0.899/0.852 at 64M (runs G/H), with higher per-level
+    # throughput on BOTH sides. 128M IS the target regime (10^8.1) and
+    # is affordable: generation measured 127 s / 5.1 GB at 64M on this
+    # host (footer-derived manifests), so ~4-5 min / ~10 GB at 128M
+    # against a 126 GB tmpfs.
+    n_events = int(os.environ.get("BENCH_N_EVENTS", "128000000"))
     n_buckets = int(os.environ.get("BENCH_N_BUCKETS", "32"))
     scratch_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="bench_", dir=scratch_base)
@@ -326,11 +374,12 @@ def main() -> None:
         if wal_env and os.path.isdir(os.path.join(wal_env, "v2")):
             wal_dir = wal_env
             segs = sorted({
-                int(d.split("seg=")[1])
+                int(d.split("seg=", 1)[1])
                 for ver in ("v1", "v2")
                 if os.path.isdir(os.path.join(wal_dir, ver))
                 for d in os.listdir(os.path.join(wal_dir, ver))
                 if d.startswith("seg=")
+                and d.split("seg=", 1)[1].lstrip("-").isdigit()
             })
         else:
             from open_bus_gtfs_etl_spark.genlog import generate_events, write_wal
@@ -349,13 +398,20 @@ def main() -> None:
         # at the first success — that selects favorable noise) and
         # report the MEDIAN of the non-suspect pairs as the headline
         target_eff = float(os.environ.get("BENCH_TARGET_EFF", "0.8"))
-        min_pairs = int(os.environ.get("BENCH_SCALE_MIN_PAIRS", "3"))
+        # 5 qualified pairs (was 3): the round-4 official record's
+        # median sat on exactly 3 qualified pairs [0.798, 0.841, 0.712]
+        # — one bad-window pair away from the bar. A 5-pair median
+        # tolerates two outliers; the rule itself is unchanged.
+        min_pairs = int(os.environ.get("BENCH_SCALE_MIN_PAIRS", "5"))
         # wall-clock budget for the scaling section: in a contended
         # window a single 1-core 32M replay can run 20 minutes, so
         # without a budget the round loop could take hours — the soft
         # deadline stops NEW rounds once min_pairs exist; the hard
         # deadline (1.8x budget) stops unconditionally
-        budget = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "2700"))
+        # raised with the 128M batch + 5-pair minimum (a 128M pair is
+        # ~12 min of samples in a quiet window; 5 qualified pairs plus
+        # slack for disqualified ones needs ~70-90 min)
+        budget = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "5400"))
         # the trailing MoR sample spends out of the SAME budget — the
         # scaling loop's deadline reserves time for it so the whole
         # bench stays bounded even when the last round starts late
@@ -477,7 +533,10 @@ def main() -> None:
             return round(raw / session_best_probe, 3) if raw is not None else None
 
         headline_eps = (headline or {}).get("events_per_sec") or 0.0
-        out = {
+        detail_path = os.environ.get(
+            "BENCH_DETAIL_PATH", os.path.join(REPO, "bench", "bench_r5_detail.json")
+        )
+        detail = {
             "metric": "change-events/sec",
             # best sustained merge-apply throughput measured this run:
             # the quiet-gated headline-cores sample when it beats the
@@ -582,7 +641,14 @@ def main() -> None:
                 },
             },
         }
-        print(json.dumps(out))
+        detail["detail_path"] = os.path.relpath(detail_path, REPO)
+        # full record → sidecar (atomic); compact summary → stdout LAST
+        tmp = detail_path + ".tmp"
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(detail, f, indent=1)
+        os.replace(tmp, detail_path)
+        print(json.dumps(_compact_summary(detail)))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -99,3 +99,75 @@ def test_median_odd_even_empty():
     assert bench._median([0.8]) == 0.8
     assert bench._median([0.7, 0.9]) == 0.8
     assert bench._median([0.9, 0.7, 0.8]) == 0.8
+
+
+def _fake_detail():
+    """A detail record shaped like main()'s, sized like a real run
+    (14 headline queries, 8 pairs with all probe stamps)."""
+    qs = {f"query_{i}_some_operator_name": 123.456 for i in range(14)}
+    samples = {
+        str(c): [
+            {"events_per_sec": 1234567.8, "probe": 0.876, "probe_after": 0.775}
+            for _ in range(8)
+        ]
+        for c in (1, 4)
+    }
+    return {
+        "metric": "change-events/sec", "value": 1358929.7,
+        "unit": "events/sec", "sf": 0.1, "queries": qs,
+        "queries_probe": {"before": 0.87, "after": 0.82},
+        "replay": {
+            "n_events": 128_000_000, "n_segments": 3, "n_buckets": 32,
+            "mode": "single-batch", "table_mode": "cow",
+            "mor_events_per_sec_high": 855513.3, "mor_probe": 0.724,
+            "headline": {"cores": 8, "events_per_sec": 1358929.7,
+                         "elapsed_sec": 48.037, "probe": 0.876},
+        },
+        "scaling": {
+            "cpus_low": 1, "cpus_high": 4,
+            "events_per_sec_low": 228587.5, "events_per_sec_high": 831613.6,
+            "efficiency": 0.899, "efficiency_best_pair": 0.929,
+            "pair_efficiencies": [0.909, 0.611, 0.883, 0.929, 0.899,
+                                  0.852, 0.871, 0.843],
+            "probe_components": "x" * 120,
+            "headline_pair_efficiencies": [0.883, 0.929, 0.899, 0.852, 0.871],
+            "suspect_pair_efficiencies": [],
+            "low_window_pair_efficiencies": [0.909, 0.611],
+            "pair_min_probes": [0.474, 0.428, 0.837, 0.806, 0.805,
+                                0.81, 0.82, 0.83],
+            "n_pairs": 8,
+            "methodology": "y" * 1200,
+            "samples": samples,
+        },
+        "detail_path": "bench/bench_r5_detail.json",
+    }
+
+
+def test_compact_summary_fits_tail_capture():
+    """The round-4 official record was lost (`parsed: null`) because
+    the one-line JSON overflowed the driver's tail capture (~2 KB
+    observed). The printed line is now a compact summary that must stay
+    comfortably under that at a realistic record size."""
+    import json
+
+    line = json.dumps(bench._compact_summary(_fake_detail()))
+    assert len(line) < 1800, len(line)
+    parsed = json.loads(line)
+    assert parsed["scaling"]["efficiency"] == 0.899
+    assert parsed["scaling"]["n_qualified"] == 5
+    assert parsed["scaling"]["qualified_pair_efficiencies"] == [
+        0.883, 0.929, 0.899, 0.852, 0.871]
+    assert parsed["replay"]["headline_events_per_sec"] == 1358929.7
+    assert len(parsed["queries"]) == 14
+    assert parsed["scaling"]["detail"] == "bench/bench_r5_detail.json"
+
+
+def test_compact_summary_drops_bulk_fields():
+    """Raw samples and methodology prose must NOT be on the stdout
+    line — they are what overflowed the round-4 record."""
+    import json
+
+    line = json.dumps(bench._compact_summary(_fake_detail()))
+    assert "methodology" not in line
+    assert "samples" not in line
+    assert "probe_after" not in line
