@@ -159,34 +159,106 @@ D4_SQL = _BRUTE_JACCARD_SQL.format(thr="0.8")
 
 
 def d5_dedup_survivors(spark, sf_dir):
-    """Pair→cluster→survivor corpus dedup: the d3 verified pairs
-    (exact Jaccard > 0.5) are clustered via iterative min-id label
-    propagation (connected components — no GraphFrames, only
-    equi-joins), and the min doc_id per cluster survives. The
-    reference's set-semantics insert-if-absent
-    (load_stops_to_db.py:73-81) lifted to the near-dup graph. Oracle:
-    DuckDB recursive CTE over the brute-force all-pairs set.
+    """Pair→cluster→survivor corpus dedup: verified MinHash-LSH pairs
+    (exact Jaccard > 0.5 over LSH candidates) are clustered via
+    iterative min-id label propagation (connected components — no
+    GraphFrames, only equi-joins), and the min doc_id per cluster
+    survives. The reference's set-semantics insert-if-absent
+    (load_stops_to_db.py:73-81) lifted to the near-dup graph.
 
-    Disclosure (same shape as d4's): the Spark side clusters
-    MinHash-LSH candidate pairs while the oracle brute-forces every
-    pair, so equality is corpus-dependent evidence of the pipeline, not
-    a proof of LSH recall — a missed candidate pair would change
-    cluster membership (split a cluster / flip a survivor), not just
-    drop a pair row. On these corpora the 8-band/32-hash configuration
-    recovers every jaccard>0.5 pair at every tested sf."""
+    Shared-randomness contract (round-5 upgrade, the d6/e2 pattern):
+    the MinHash family here is ``md5lcg`` — md5-derived base hash
+    through Carter-Wegman ``(a_i·h + b_i) mod 2^31-1`` with
+    coefficients baked from the same seed into BOTH the Spark plan and
+    the DuckDB oracle (``_build_d5_sql``), and raw signature-concat
+    band buckets. The oracle therefore rebuilds the IDENTICAL candidate
+    pair set before verifying and clustering — equality checks the
+    whole pipeline including candidate generation, with no
+    corpus-dependence caveat."""
     from ..operators import textdedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = textdedup.minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    cand = textdedup.minhash_lsh_candidates(
+        d, num_hashes=32, bands=8, hash_family="md5lcg"
+    )
     pairs = textdedup.jaccard_pairs(d, cand).where(F.col("jaccard") > 0.5)
     return textdedup.dedup_survivors(pairs).select(
         "doc_id", "cluster_id", "is_survivor"
     )
 
 
-D5_SQL = (
-    "WITH RECURSIVE base_pairs AS (" + _BRUTE_JACCARD_SQL.format(thr="0.5") + "),\n"
-    """edges AS (
+def _build_d5_sql(
+    num_hashes: int = 32, bands: int = 8, seed: int = 7,
+    stage: str = "survivors",
+) -> str:
+    """DuckDB oracle for d5 with the SAME LSH banding as the Spark
+    side: identical shingles, identical md5lcg minhash coefficients
+    (from ``shared_minhash_coeffs`` — the literals are baked into this
+    SQL string at build time), identical raw-concat band buckets →
+    identical candidate pairs → exact Jaccard > 0.5 → recursive-CTE
+    connected components → min-id survivor per cluster.
+
+    ``stage='cand'`` ends the query at the raw candidate pair set
+    instead — used by tests/test_dedup.py to assert the Spark and
+    DuckDB candidate sets are IDENTICAL (the contract itself, not just
+    the final survivors)."""
+    from ..operators.textdedup import _SHARED_P, shared_minhash_coeffs
+
+    rows_per_band = num_hashes // bands
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {_SHARED_P}))"
+        for a, b in shared_minhash_coeffs(num_hashes, seed)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"sig[{b * rows_per_band + j + 1}]::VARCHAR"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    cand_stop = "__CAND_STOP__"
+    sql = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2]
+         )) AS sh
+  FROM documents
+),
+hv AS (
+  SELECT doc_id,
+         list_transform(sh, s ->
+           ('0x' || substr(md5(s),1,15))::BIGINT % {_SHARED_P}) AS hv
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         [{mins}] AS sig
+  FROM hv
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+){cand_stop}
+base_pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) > 0.5
+),
+edges AS (
   SELECT id_a AS src, id_b AS dst FROM base_pairs
   UNION
   SELECT id_b, id_a FROM base_pairs
@@ -199,7 +271,13 @@ reach AS (
 SELECT id AS doc_id, MIN(r) AS cluster_id, (id = MIN(r)) AS is_survivor
 FROM reach GROUP BY id
 """
-)
+    if stage == "cand":
+        head, _, _ = sql.partition(cand_stop)
+        return head + "\nSELECT id_a, id_b FROM cand"
+    return sql.replace(cand_stop, ",")
+
+
+D5_SQL = _build_d5_sql()
 
 
 def d6_embedding_near_dups(spark, sf_dir):

@@ -537,3 +537,48 @@ def test_split_assignment_stable_and_leak_free(spark):
     assert a == b, "split must be partition/order-invariant"
     for r in dup.select("doc_id").collect():
         assert a[r.doc_id] == a[r.doc_id - 10_000], "duplicate text split leak"
+
+
+def test_md5lcg_candidate_set_identical_to_duckdb(spark):
+    """The d5 shared-randomness contract at its strongest point: the
+    Spark md5lcg LSH CANDIDATE pair set (before any Jaccard verify)
+    must be bit-identical to the DuckDB banding CTE built from the same
+    coefficients — candidate generation itself is oracle-checked, not
+    only the verified output."""
+    import duckdb
+
+    from open_bus_gtfs_etl_spark.plans.queries_dedup import _build_d5_sql
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    cand = textdedup.minhash_lsh_candidates(
+        d, num_hashes=32, bands=8, hash_family="md5lcg"
+    )
+    got = {(r.id_a, r.id_b) for r in cand.select("id_a", "id_b").collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = set(map(tuple, con.execute(_build_d5_sql(stage="cand")).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_md5lcg_family_matches_xxhash64_recall(spark):
+    """Both hash families must verify to the same final pair set on the
+    driver corpus (the family changes WHICH candidates pay the exact
+    Jaccard, never the verified answer when recall is total)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+    def verified(fam):
+        cand = textdedup.minhash_lsh_candidates(d, hash_family=fam)
+        p = textdedup.jaccard_pairs(d, cand).where(F.col("jaccard") > 0.5)
+        return {(r.id_a, r.id_b) for r in p.select("id_a", "id_b").collect()}
+
+    assert verified("md5lcg") == verified("xxhash64")
+
+
+def test_minhash_unknown_family_rejected(spark):
+    import pytest
+
+    d = spark.range(1).select(F.lit("a b c").alias("text"), F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="hash_family"):
+        textdedup.minhash_lsh_candidates(d, hash_family="bogus").collect()
