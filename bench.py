@@ -302,7 +302,10 @@ def _replay_subprocess(cores: int, wal_dir: str, n_events: int, lake_root: str,
              str(cores), wal_dir, str(n_events), lake_root, str(n_buckets),
              "single-batch", table_mode],
             capture_output=True, text=True,
-            timeout=int(os.environ.get("BENCH_SUBPROC_TIMEOUT", "1800")), env=env,
+            # 2400 s: a quiet-window 1-core 128M replay is ~9 min; a
+            # 4x-degraded window still finishes inside 40 min instead
+            # of burning a timeout on an almost-done sample
+            timeout=int(os.environ.get("BENCH_SUBPROC_TIMEOUT", "2400")), env=env,
         )
         line = out.stdout.strip().splitlines()[-1]
         return json.loads(line)
@@ -418,7 +421,10 @@ def main() -> None:
         mor_reserve = float(os.environ.get("BENCH_MOR_RESERVE_SEC", "480"))
         t_scaling = time.time()
         soft_deadline = t_scaling + max(300.0, budget - mor_reserve)
-        hard_deadline = t_scaling + 1.8 * budget
+        # 1.4x (was 1.8x): with the 90-min round-5 budget the absolute
+        # worst case must stay ~2 h — the hard stop exists to bound the
+        # driver run, not to chase a hopeless window
+        hard_deadline = t_scaling + 1.4 * budget
         # raw probe history for end-of-run normalization; the GATING
         # baseline is re-established here (the queries/gen phases are
         # 20+ minutes old — a stale fast-window baseline would starve
