@@ -455,10 +455,13 @@ def main() -> None:
         mor_reserve = float(os.environ.get("BENCH_MOR_RESERVE_SEC", "480"))
         t_scaling = time.time()
         soft_deadline = t_scaling + max(300.0, budget - mor_reserve)
-        # 1.4x (was 1.8x): with the 90-min round-5 budget the absolute
-        # worst case must stay ~2 h — the hard stop exists to bound the
-        # driver run, not to chase a hopeless window
-        hard_deadline = t_scaling + 1.4 * budget
+        # 1.25x (was 1.8x in r4, 1.4x earlier in r5): with the 90-min
+        # round-5 budget the absolute worst case must stay under ~2 h
+        # including generation + headline + MoR — the hard stop exists
+        # to bound the driver run, not to chase a hopeless window (run I
+        # showed a hopeless window just burns the extra time on
+        # disqualified pairs)
+        hard_deadline = t_scaling + 1.25 * budget
         # raw probe history for end-of-run normalization; the GATING
         # baseline is re-established here (the queries/gen phases are
         # 20+ minutes old — a stale fast-window baseline would starve
