@@ -439,9 +439,11 @@ def w8_ntile_deciles(spark, sf_dir):
     Scale note, stated honestly: a global ntile window plans as a
     single-partition sort — correct but a deliberate scale smell; the
     100-TB path is two-phase (sample approximate decile boundaries,
-    then a map-side bucket assignment — t8's stratified-sample shape).
-    This entry exists for the operator's semantics; the aggregation
-    after it reduces the single-partition output immediately."""
+    then a map-side bucket assignment) and is IMPLEMENTED as
+    w8b_ntile_sampled below, plan-pinned to keep every sort off the
+    full table. This entry exists for the exact operator's semantics;
+    the aggregation after it reduces the single-partition output
+    immediately."""
     orders = _t(spark, sf_dir, "orders")
     deciled = orders.select(
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
@@ -465,6 +467,105 @@ SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_orders,
 FROM (SELECT o_totalprice,
              ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
       FROM orders)
+GROUP BY decile
+"""
+
+
+def w8b_ntile_sampled(spark, sf_dir):
+    """The 100-TB decile bucketing w8's docstring promises: two-phase
+    sampled-boundary ntile, no global sort anywhere. Phase 1 takes a
+    DETERMINISTIC ~6% sample (the t8 LCG — ((key*1103515245+12345)
+    mod 2^31) mod 100 < 6, shared verbatim with the oracle so the
+    "randomness" is part of the contract, like d5/d6/e2), ranks ONLY
+    the sample (the single-partition window is bounded by the sample
+    size, not the corpus — at a fixed rate you'd cap it with a
+    second-level rate at extreme scale), and keeps the 9 boundary rows
+    at ranks floor(i*n/10), i=1..9. Phase 2 broadcasts the sorted
+    boundary array back and assigns bucket = 1 + #(boundaries < value)
+    as a pure map-side expression — no shuffle touches the full table
+    until the final 10-group aggregate. Buckets are approximately
+    equal-count (sampling error), NOT exactly — that is the trade the
+    scale path makes, and both engines compute the identical
+    approximation. Ties sit in the lower bucket (strict <); when the
+    sample has <10 rows duplicate boundary ranks collapse (set
+    semantics), identically in both engines. Same int64-overflow
+    caveat as stratified_hash_sample for 10^10+ keys.
+
+    Reference scope: beyond-reference curation operator (the reference
+    has no quantile bucketing; nearest is its full-table pandas loads,
+    gtfs_extractor/extractor.py)."""
+    orders = _t(spark, sf_dir, "orders")
+    lcg = F.pmod(
+        F.pmod(
+            F.col("o_orderkey") * F.lit(1103515245) + F.lit(12345),
+            F.lit(2147483648),
+        ),
+        F.lit(100),
+    )
+    sample = orders.filter(lcg < F.lit(6)).select("o_totalprice", "o_orderkey")
+    n_df = sample.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        sample.select(
+            "o_totalprice",
+            F.row_number()
+            .over(W.orderBy("o_totalprice", "o_orderkey"))
+            .alias("r"),
+        )
+        .crossJoin(F.broadcast(n_df))
+        .filter(
+            F.expr(
+                "array_contains(transform(sequence(1, 9),"
+                " i -> CAST(floor(i * n / 10.0) AS BIGINT)), r)"
+            )
+        )
+    )
+    bounds = ranked.agg(
+        F.sort_array(F.collect_list("o_totalprice")).alias("bs")
+    )
+    assigned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter("bs", lambda b: b < F.col("o_totalprice"))
+            )
+        )
+        .cast("bigint")
+        .alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("sum_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+W8B_SQL = """
+WITH sample AS (
+  SELECT o_totalprice, o_orderkey FROM orders
+  WHERE ((o_orderkey * 1103515245 + 12345) % 2147483648) % 100 < 6
+),
+ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+         COUNT(*) OVER () AS n
+  FROM sample
+),
+bounds AS (
+  SELECT o_totalprice AS b FROM ranked
+  WHERE EXISTS (SELECT 1 FROM range(1, 10) t(i)
+                WHERE CAST(floor(i * n / 10.0) AS BIGINT) = r)
+)
+SELECT decile, COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       MAX(o_totalprice) AS max_price
+FROM (
+  SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS price, o_totalprice,
+         CAST(1 + (SELECT COUNT(*) FROM bounds WHERE b < o.o_totalprice)
+              AS BIGINT) AS decile
+  FROM orders o
+)
 GROUP BY decile
 """
 

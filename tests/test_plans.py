@@ -414,3 +414,27 @@ def test_schema_evolution_union_single_exchange(spark):
     plan = _plan(m8_schema_evolution_cdc(spark, SF))
     assert "Union" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_sampled_ntile_no_full_table_sort(spark):
+    """w8b: the whole point of the sampled-boundary form is that NO
+    sort or single-partition exchange ever touches the full table —
+    the only Sort feeds the row_number window over the LCG-FILTERED
+    sample (the filter must be pushed into that scan's DataFilters),
+    and the boundary array must come back as a 1-row broadcast
+    (BroadcastNestedLoopJoin is fine — the build side is one row)."""
+    import re
+
+    from open_bus_gtfs_etl_spark.plans.queries import w8b_ntile_sampled
+
+    plan = _plan(w8b_ntile_sampled(spark, SF))
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+    # the sample-side scan carries the LCG filter; the full-table scan
+    # (assignment side) reads only o_totalprice
+    assert "pmod" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    full_scan = [
+        seg for seg in plan.split("FileScan parquet ")
+        if seg.startswith("[o_totalprice")
+    ]
+    assert full_scan, plan
