@@ -582,3 +582,22 @@ def test_minhash_unknown_family_rejected(spark):
     d = spark.range(1).select(F.lit("a b c").alias("text"), F.col("id").alias("doc_id"))
     with pytest.raises(ValueError, match="hash_family"):
         textdedup.minhash_lsh_candidates(d, hash_family="bogus").collect()
+
+
+def test_sampled_ntile_conserves_and_orders(spark):
+    """w8b invariants that hold regardless of sampling error: every
+    order lands in exactly one bucket (counts conserve), buckets stay
+    in 1..10, and the per-bucket max_price is strictly increasing with
+    the bucket id (boundary assignment is monotone by construction)."""
+    from open_bus_gtfs_etl_spark.plans.queries import w8b_ntile_sampled
+
+    rows = (
+        w8b_ntile_sampled(spark, SF)
+        .orderBy("decile")
+        .collect()
+    )
+    total = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == total
+    assert all(1 <= r.decile <= 10 for r in rows)
+    maxes = [r.max_price for r in rows]
+    assert maxes == sorted(maxes) and len(set(maxes)) == len(maxes)
