@@ -124,7 +124,7 @@ def _fake_detail():
                          "elapsed_sec": 48.037, "probe": 0.876},
         },
         "scaling": {
-            "cpus_low": 1, "cpus_high": 4,
+            "cpus_low": 1, "cpus_high": 4, "n_events": 64_000_000,
             "events_per_sec_low": 228587.5, "events_per_sec_high": 831613.6,
             "efficiency": 0.899, "efficiency_best_pair": 0.929,
             "pair_efficiencies": [0.909, 0.611, 0.883, 0.929, 0.899,
@@ -158,6 +158,11 @@ def test_compact_summary_fits_tail_capture():
     assert parsed["scaling"]["qualified_pair_efficiencies"] == [
         0.883, 0.929, 0.899, 0.852, 0.871]
     assert parsed["replay"]["headline_events_per_sec"] == 1358929.7
+    # the scaling batch is its own knob (64M vs the 128M headline batch)
+    # and the record must say so — a reader comparing the two throughput
+    # numbers needs to know they come from different inputs
+    assert parsed["scaling"]["n_events"] == 64_000_000
+    assert parsed["replay"]["n_events"] == 128_000_000
     assert len(parsed["queries"]) == 14
     assert parsed["scaling"]["detail"] == "bench/bench_r5_detail.json"
 
