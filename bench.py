@@ -60,6 +60,118 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# --- pre-generated WAL cache -------------------------------------------
+# WAL generation is SETUP, never a timed phase — the input is fully
+# deterministic (seed below), so reusing a cached copy is pure caching
+# and saves the driver run ~25 min of untimed generation wall. A cached
+# WAL is accepted ONLY when its recipe token matches the exact
+# generation parameters AND the md5 of the current genlog source, and
+# every segment passes the producer-manifest completeness gate
+# (genlog.validate_segment) — anything else falls back to fresh
+# generation. Populate with ``python bench.py pregen``.
+WAL_RECIPE = {"seed": 42, "dup_rate": 0.02, "ooo_rate": 0.02}
+
+
+def _genlog_fingerprint() -> str:
+    import hashlib
+
+    import open_bus_gtfs_etl_spark.genlog as genlog
+
+    with open(genlog.__file__, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
+def _pregen_root() -> str:
+    return os.environ.get(
+        "BENCH_PREGEN_ROOT",
+        os.path.join(
+            "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+            "bench_pregen",
+        ),
+    )
+
+
+def _pregen_token(n: int) -> dict:
+    return {
+        "n_events": n,
+        "n_conv": max(64, n // 20),
+        "seg_size": n,
+        **WAL_RECIPE,
+        "genlog_md5": _genlog_fingerprint(),
+    }
+
+
+def _list_wal_segs(d: str) -> list[int]:
+    return sorted({
+        int(p.split("seg=", 1)[1])
+        for ver in ("v1", "v2")
+        if os.path.isdir(os.path.join(d, ver))
+        for p in os.listdir(os.path.join(d, ver))
+        if p.startswith("seg=")
+        and p.split("seg=", 1)[1].lstrip("-").isdigit()
+    })
+
+
+def _valid_pregen(d: str, n: int) -> bool:
+    try:
+        with open(os.path.join(d, "_PREGEN.json")) as f:
+            tok = json.load(f)
+    except (OSError, ValueError):
+        return False
+    if tok != _pregen_token(n):
+        return False
+    from open_bus_gtfs_etl_spark.genlog import validate_segment
+
+    segs = _list_wal_segs(d)
+    return bool(segs) and all(validate_segment(d, s)[0] for s in segs)
+
+
+def _pregen_main() -> None:
+    """``python bench.py pregen`` — generate the headline and scaling
+    WALs into the pregen root so subsequent bench runs skip generation.
+    Atomic: each WAL is built in a tmp sibling (token written last,
+    after the manifests) and renamed into place."""
+    from open_bus_gtfs_etl_spark.genlog import generate_events, write_wal
+    from open_bus_gtfs_etl_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sizes = sorted({
+        int(os.environ.get("BENCH_N_EVENTS", "128000000")),
+        int(os.environ.get("BENCH_SCALE_N_EVENTS", "64000000")),
+    })
+    root = _pregen_root()
+    os.makedirs(root, exist_ok=True)
+    spark = get_spark(
+        app_name="bench-pregen", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    for n in sizes:
+        final = os.path.join(root, f"wal_{n}")
+        if _valid_pregen(final, n):
+            print(f"pregen: wal_{n} already valid, skipping")
+            continue
+        tmp = os.path.join(root, f".tmp_wal_{n}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        t0 = time.time()
+        tok = _pregen_token(n)
+        events = generate_events(
+            spark, n, n_conv=tok["n_conv"], seed=tok["seed"],
+            dup_rate=tok["dup_rate"], ooo_rate=tok["ooo_rate"],
+            seg_size=tok["seg_size"],
+        )
+        write_wal(events, tmp)
+        with open(os.path.join(tmp, "_PREGEN.json.tmp"), "w") as f:
+            json.dump(tok, f)
+        os.replace(
+            os.path.join(tmp, "_PREGEN.json.tmp"),
+            os.path.join(tmp, "_PREGEN.json"),
+        )
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        print(f"pregen: wal_{n} written in {time.time() - t0:.0f}s -> {final}")
+    spark.stop()
+
 
 def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     from open_bus_gtfs_etl_spark.plans.queries import QUERIES
@@ -401,31 +513,27 @@ def main() -> None:
             d = os.path.join(work, name)
             return d, write_wal(events, d)
 
-        def _reuse_wal(d: str) -> list[int]:
-            return sorted({
-                int(p.split("seg=", 1)[1])
-                for ver in ("v1", "v2")
-                if os.path.isdir(os.path.join(d, ver))
-                for p in os.listdir(os.path.join(d, ver))
-                if p.startswith("seg=")
-                and p.split("seg=", 1)[1].lstrip("-").isdigit()
-            })
+        # resolution order: explicit env override → validated pregen
+        # cache (recipe token + genlog md5 + per-segment manifest gate,
+        # see _valid_pregen) → fresh generation into the work dir
+        def _resolve_wal(n: int, name: str, env_key: str) -> tuple[str, list[int]]:
+            env = os.environ.get(env_key)
+            if env and os.path.isdir(os.path.join(env, "v2")):
+                return env, _list_wal_segs(env)
+            pre = os.path.join(_pregen_root(), f"wal_{n}")
+            if _valid_pregen(pre, n):
+                return pre, _list_wal_segs(pre)
+            return _gen_wal(n, name)
 
-        wal_env = os.environ.get("BENCH_WAL_DIR")
-        if wal_env and os.path.isdir(os.path.join(wal_env, "v2")):
-            wal_dir, segs = wal_env, _reuse_wal(wal_env)
-        else:
-            wal_dir, segs = _gen_wal(n_events, "wal")
+        wal_dir, segs = _resolve_wal(n_events, "wal", "BENCH_WAL_DIR")
         # separate (smaller) WAL for the scaling pairs — see the
         # scale_n_events rationale above; reusable via BENCH_SCALE_WAL_DIR
-        scale_wal_env = os.environ.get("BENCH_SCALE_WAL_DIR")
         if scale_n_events == n_events:
             scale_wal_dir = wal_dir
-        elif scale_wal_env and os.path.isdir(os.path.join(scale_wal_env, "v2")):
-            scale_wal_dir = scale_wal_env
-            _reuse_wal(scale_wal_env)
         else:
-            scale_wal_dir, _ = _gen_wal(scale_n_events, "wal_scale")
+            scale_wal_dir, _ = _resolve_wal(
+                scale_n_events, "wal_scale", "BENCH_SCALE_WAL_DIR"
+            )
         spark.stop()
 
         # interleaved fresh-JVM runs: high, low, high, low, ... — the
@@ -604,6 +712,20 @@ def main() -> None:
                 "n_buckets": n_buckets,
                 "mode": "single-batch",
                 "table_mode": table_mode,
+                # input provenance: generation is untimed setup; "pregen"
+                # means the validated deterministic cache was reused
+                # (recipe token + genlog md5 + manifest gate)
+                "wal_source": (
+                    "pregen" if wal_dir.startswith(_pregen_root())
+                    else "env" if wal_dir == os.environ.get("BENCH_WAL_DIR")
+                    else "generated"
+                ),
+                "scale_wal_source": (
+                    "pregen" if scale_wal_dir.startswith(_pregen_root())
+                    else "env" if scale_wal_dir == os.environ.get(
+                        "BENCH_SCALE_WAL_DIR")
+                    else "generated"
+                ),
                 "mor_events_per_sec_high": mor.get("events_per_sec"),
                 "mor_probe": _norm(mor_score),
                 "headline": (
@@ -701,4 +823,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "pregen":
+        _pregen_main()
+    else:
+        main()
