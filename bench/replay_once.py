@@ -91,8 +91,13 @@ def main() -> None:
     # HotSpot compiles them; a token 50k warm-up left the timed 16M
     # apply 10-20x slower in its first minutes)
     warm_ev = generate_events(spark, 1_000_000, n_conv=50_000, seed=7, dup_rate=0.02)
-    apply_batch(warm_tbl, warm_ev.drop("seg"), batch_id=0)
-    apply_batch(warm_tbl, warm_ev.drop("seg").limit(10_000), batch_id=1)
+    # same dedup plan as the timed section so the warm-up compiles the
+    # classes the measurement actually runs
+    apply_batch(warm_tbl, warm_ev.drop("seg"), batch_id=0, dedup="argmax_lsn")
+    apply_batch(
+        warm_tbl, warm_ev.drop("seg").limit(10_000), batch_id=1,
+        dedup="argmax_lsn",
+    )
     _phase("warmup", t0)
     import shutil
 
@@ -121,7 +126,9 @@ def main() -> None:
             p = read_wal_segment(spark, wal_dir, seg)
             batch = p if batch is None else batch.unionByName(p)
         t0 = time.time()
-        st = apply_batch(table, batch, batch_id=0)
+        # the generated WAL's lsn is the global event id (genlog
+        # contract), so the lsn-keyed argmax join-back applies
+        st = apply_batch(table, batch, batch_id=0, dedup="argmax_lsn")
         elapsed = time.time() - t0
         n_applied = st.get("n_source_rows") or n_events
     else:

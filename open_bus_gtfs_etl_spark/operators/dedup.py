@@ -131,6 +131,85 @@ def lww_dedup_argmax_join(
     )
 
 
+def argmax_winner_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = "lsn",
+    carry_stats: bool = False,
+) -> DataFrame:
+    """Per-key winning-lsn frame for ``lww_dedup_argmax_lsn``: one row
+    per key holding ONLY the winning lsn (plus the lineage counters
+    when ``carry_stats``) — the key columns themselves are projected
+    away, because under the globally-unique-lsn contract the winning
+    lsn alone identifies the winner row. 32 bytes/row (4 longs) vs ~90
+    for the keyed frame: the broadcast relation shrinks ~3x and the
+    probe-side hash is a single long instead of string+int."""
+    aggs = [F.max(lsn_col).alias("_win_lsn")]
+    if carry_stats:
+        aggs += [
+            F.count("*").alias("_n_dups"),
+            F.min(lsn_col).alias("_lsn_min"),
+            F.max(lsn_col).alias("_lsn_max"),
+        ]
+    extra = ["_n_dups", "_lsn_min", "_lsn_max"] if carry_stats else []
+    return df.groupBy(*key_cols).agg(*aggs).select("_win_lsn", *extra)
+
+
+def lww_dedup_argmax_lsn(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    carry_stats: bool = False,
+    winner_stats: DataFrame | None = None,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Argmax LWW for feeds whose lsn is GLOBALLY unique across keys —
+    the WAL contract (lsn is the global event id; duplicate deliveries
+    share lsn AND payload; see genlog.generate_events).
+
+    Under that contract ``row.lsn == max(lsn) over row's key`` is
+    equivalent to ``row.lsn ∈ {winning lsns}``: an lsn belongs to
+    exactly one key event, so a row can never match another key's
+    winning lsn. The join-back therefore equi-joins on the single
+    ``lsn`` long instead of the (string, int) key pair:
+
+    - the broadcast relation carries (``_win_lsn`` + optional counters)
+      only — ~32 B/row, ~3x smaller than the keyed winner frame, so the
+      driver-serial broadcast build (part of the scaling serial floor)
+      shrinks proportionally;
+    - the probe side hashes one long per row instead of a ~17-char
+      string + int.
+
+    ``winner_stats`` accepts a pre-built (possibly persisted) frame
+    from :func:`argmax_winner_stats` so a caller that already counted
+    it for the broadcast decision doesn't recompute the aggregation.
+
+    Ties (duplicate deliveries: same key AND lsn, identical payload)
+    are broken by a row_number window partitioned by the LSN itself:
+    under global uniqueness lsn ⊃ key, so per-lsn rank ≡ per-key rank
+    over the survivors, and the exchange/sort compare one long instead
+    of a string+int key (measured ~2.4 s cheaper per 16M events at 1
+    core than the keyed window). NOT safe when lsn values can repeat
+    across keys — use ``lww_dedup_argmax_join`` there (per-key
+    uniqueness suffices for it).
+    """
+    if winner_stats is None:
+        winner_stats = argmax_winner_stats(
+            df, key_cols, lsn_col=lsn_col, carry_stats=carry_stats
+        )
+    side = F.broadcast(winner_stats) if broadcast_keys else winner_stats
+    j = df.join(side, F.col(lsn_col) == F.col("_win_lsn"), "inner")
+    extra = ["_n_dups", "_lsn_min", "_lsn_max"] if carry_stats else []
+    w = Window.partitionBy(lsn_col).orderBy(F.col(ts_col).desc())
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*key_cols, *payload_cols, *extra)
+    )
+
+
 def lww_dedup_window_repart(
     df: DataFrame,
     key_cols: list[str],

@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 
 from ..schema import KEY_COLS, VALUE_COLS
 from .dedup import (
+    argmax_winner_stats,
     lww_dedup_agg,
     lww_dedup_argmax_join,
+    lww_dedup_argmax_lsn,
     lww_dedup_salted,
     lww_dedup_window_repart,
 )
@@ -42,6 +44,10 @@ def align_to_schema(batch: DataFrame, stored_schema) -> DataFrame:
 # serialized bytes per winner-key row in the broadcast hash relation
 # (conv_id string ~16B + turn_idx + up to 3 long counters)
 BROADCAST_KEY_BYTES = 48
+
+# the argmax_lsn winner frame is keyless (4 longs/row): the winning lsn
+# plus the three lineage counters — see dedup.argmax_winner_stats
+BROADCAST_LSN_BYTES = 32
 
 
 def observe_winner_count(batch: DataFrame, key_cols: list[str]) -> int:
@@ -129,6 +135,15 @@ def apply_batch(
       filters nothing and its winner frame is as big as the batch.
     - "agg": max_by — correct for feeds whose lsn is NOT unique per
       key event, where argmax's winning-lsn join-back could tie.
+    - "argmax_lsn": argmax whose join-back equi-joins on the winning
+      lsn ALONE (``lww_dedup_argmax_lsn``) — requires lsn to be
+      GLOBALLY unique across keys (the WAL contract: lsn is the global
+      event id). ~3x smaller broadcast (keyless 4-long rows), single
+      long probe hash, and the tie-break exchange doubles as the
+      bucketed write's clustering, so the winners cross one exchange
+      total. The replay paths (``replay_wal``, bench replay) pick this
+      explicitly; "auto" never does, because apply_batch cannot verify
+      global uniqueness for arbitrary feeds.
 
     ``salted`` routes dedup through the two-phase salted WINDOW plan
     (hot-key sort-shard splitting). Note the default argmax plan is
@@ -177,13 +192,46 @@ def apply_batch(
     if dedup == "auto":
         # argmax wins at every duplication ratio the CDC feed actually
         # produces (see docstring); "window" stays an explicit opt-in
-        # for unique-key ingest
+        # for unique-key ingest; "argmax_lsn" is the WAL-contract form
+        # (globally unique lsn) picked explicitly by the replay paths
         dedup = "argmax"
+    stats_frame = None  # persisted winner-stats frame, freed after merge
     if broadcast_keys == "auto":
-        # auto-sized from the winner count the PREVIOUS merge observed
-        # in-flight; a no-history table (bootstrap) pays one keys-only
-        # HLL pass over this batch instead of defaulting to broadcast
-        broadcast_keys = resolve_broadcast_keys(table, batch=batch, key_cols=key_cols)
+        man = getattr(table, "manifest", None)
+        est = man().get("last_n_winners") if callable(man) else None
+        per_row = (
+            BROADCAST_LSN_BYTES if dedup == "argmax_lsn" else BROADCAST_KEY_BYTES
+        )
+        cap_bytes = 512 << 20  # same deliberate cap as resolve_broadcast_keys
+        if est is not None:
+            # steady state: sized from the winner count the PREVIOUS
+            # merge observed in-flight — no extra job
+            broadcast_keys = int(est) * per_row <= cap_bytes
+        elif dedup == "argmax_lsn":
+            # bootstrap: the join-back needs the winner aggregation
+            # anyway — persist it and take its EXACT count for the
+            # broadcast decision instead of paying a separate keys-only
+            # HLL scan of the whole batch (guide §1.2/§2.3: one fewer
+            # full pass, and an exact count instead of a ±5% estimate)
+            from pyspark import StorageLevel
+
+            stats_frame = argmax_winner_stats(
+                batch, key_cols, carry_stats=bool(stats)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            n_winners = stats_frame.count()
+            broadcast_keys = n_winners * per_row <= cap_bytes
+            if not broadcast_keys:
+                # over the cap the lsn-join would shuffle the payload by
+                # lsn AND re-cluster it for the rank — the keyed join's
+                # single keys-exchange (window reuses it) is the right
+                # non-broadcast plan, so fall back to it
+                stats_frame.unpersist()
+                stats_frame = None
+                dedup = "argmax"
+        else:
+            broadcast_keys = resolve_broadcast_keys(
+                table, batch=batch, key_cols=key_cols
+            )
     clustered = False
     if salted:
         winners = lww_dedup_salted(batch, key_cols, payload, n_salts=n_salts)
@@ -192,6 +240,19 @@ def apply_batch(
             batch, key_cols, payload, carry_stats=bool(stats)
         )
         clustered = True
+    elif dedup == "argmax_lsn":
+        # WAL contract (globally unique lsn): single-long broadcast
+        # join-back. NOT marked clustered: writing partitionBy(bucket)
+        # straight from the tie-break's partitions fans out to
+        # (partitions × buckets) small files, and the measured per-file
+        # writer overhead (~20 ms × 1024 files at 1 core) costs more
+        # than the ~winner-sized bucket exchange it would save — the
+        # repartitioned write keeps exactly one well-sized file per
+        # bucket (guide §6 small-files rule)
+        winners = lww_dedup_argmax_lsn(
+            batch, key_cols, payload, carry_stats=bool(stats),
+            winner_stats=stats_frame, broadcast_keys=broadcast_keys,
+        )
     elif dedup == "argmax":
         # carry_stats folds batch-size/lsn-range counters into the same
         # aggregation pass — no second scan of the batch for lineage
@@ -202,10 +263,14 @@ def apply_batch(
     else:
         winners = lww_dedup_agg(batch, key_cols, payload, carry_stats=bool(stats))
 
-    st = table.merge(
-        winners, batch_id=batch_id, stats=stats, writer=writer,
-        discovery=discovery, clustered=clustered,
-    )
+    try:
+        st = table.merge(
+            winners, batch_id=batch_id, stats=stats, writer=writer,
+            discovery=discovery, clustered=clustered,
+        )
+    finally:
+        if stats_frame is not None:
+            stats_frame.unpersist()
     if stats and not st.get("skipped_fenced"):
         if "rows_upserted" in st:  # merge-on-read: no outcome split
             n_winners = st["rows_upserted"] + st["rows_deleted"]
@@ -271,6 +336,7 @@ def replay_wal(
     min_plausible_rows: int | None = None,
     max_lsn_gap: int | None = None,
     auto_compact: int | None = None,
+    dedup: str = "argmax_lsn",
 ) -> list[dict]:
     """Batch replay of a WAL segment range through the merge kernel —
     the backfill path (reference R2, load_missing_data.py:16-54: walk a
@@ -323,6 +389,9 @@ def replay_wal(
             table, batch,
             batch_id=None if newest_first else seg,
             salted=salted, writer=writer, auto_compact=auto_compact,
+            # WAL segments satisfy the globally-unique-lsn contract
+            # (lsn = global event id), so the lsn-keyed argmax applies
+            dedup=dedup,
         )
         st["batch_id"] = seg
         if min_plausible_rows is not None and not st.get("skipped_fenced"):
