@@ -222,6 +222,10 @@ def _start(
                     writer=fence_writer,
                     stats="per_bucket" if lineage is not None else True,
                     auto_compact=auto_compact,
+                    # the tailer feeds from the WAL, whose lsn is the
+                    # global event id — the lsn-keyed argmax applies
+                    # (operators/dedup.lww_dedup_argmax_lsn contract)
+                    dedup="argmax_lsn",
                 )
                 if lineage is not None:
                     lineage.record(batch_id, st)
