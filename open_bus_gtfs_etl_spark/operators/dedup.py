@@ -164,6 +164,9 @@ def lww_dedup_argmax_lsn(
     carry_stats: bool = False,
     winner_stats: DataFrame | None = None,
     broadcast_keys: bool = True,
+    cluster_expr: F.Column | None = None,
+    cluster_col: str = "_bucket",
+    cluster_partitions: int | None = None,
 ) -> DataFrame:
     """Argmax LWW for feeds whose lsn is GLOBALLY unique across keys —
     the WAL contract (lsn is the global event id; duplicate deliveries
@@ -194,6 +197,35 @@ def lww_dedup_argmax_lsn(
     core than the keyed window). NOT safe when lsn values can repeat
     across keys — use ``lww_dedup_argmax_join`` there (per-key
     uniqueness suffices for it).
+
+    ``cluster_expr`` (guide §2.4 — remove shuffles outright): when the
+    caller knows the downstream clustering (the merge's bucket column,
+    a pure function of ``key_cols[0]``), the tie-break rides THAT
+    exchange instead of adding its own. The survivors are repartitioned
+    by the bucket expression (the exchange the bucketed write needs
+    anyway), and ties collapse with a ``lag`` window partitioned by
+    ``(bucket, *key_cols)``:
+
+    - ``HashPartitioning([bucket])`` is a subset of the window's
+      ``ClusteredDistribution([bucket, *keys])``, so the window adds NO
+      exchange;
+    - after the join-back every surviving row of a key carries that
+      key's single winning lsn, so ``lag(lsn) IS NULL`` keeps exactly
+      the first row of each (bucket, key) group — same survivor set as
+      the per-lsn rank (ties are bit-identical re-deliveries);
+    - ``lag`` (an offset window function) deliberately replaces
+      ``row_number``: a rank filter triggers Spark's WindowGroupLimit
+      insertion, whose partial phase fully sorts the payload on the
+      map side to drop ~2% of rows — a bad trade the offset function
+      sidesteps;
+    - the window's required sort (bucket, keys, ts desc) IS the
+      bucketed writer's required order, so the write's
+      ``sortWithinPartitions`` collapses into it (plan-verified).
+
+    The output then carries ``cluster_col`` so the merge reuses the
+    attribute (and with it the partitioning/ordering metadata) instead
+    of recomputing the expression. Net: the winners' payload crosses
+    ONE exchange and ONE sort end-to-end instead of two of each.
     """
     if winner_stats is None:
         winner_stats = argmax_winner_stats(
@@ -202,6 +234,20 @@ def lww_dedup_argmax_lsn(
     side = F.broadcast(winner_stats) if broadcast_keys else winner_stats
     j = df.join(side, F.col(lsn_col) == F.col("_win_lsn"), "inner")
     extra = ["_n_dups", "_lsn_min", "_lsn_max"] if carry_stats else []
+    if cluster_expr is not None:
+        j = j.withColumn(cluster_col, cluster_expr)
+        if cluster_partitions:
+            j = j.repartition(cluster_partitions, F.col(cluster_col))
+        else:
+            j = j.repartition(F.col(cluster_col))
+        w = Window.partitionBy(cluster_col, *key_cols).orderBy(
+            F.col(ts_col).desc()
+        )
+        return (
+            j.withColumn("_prev_lsn", F.lag(lsn_col).over(w))
+            .where(F.col("_prev_lsn").isNull())
+            .select(*key_cols, *payload_cols, *extra, cluster_col)
+        )
     w = Window.partitionBy(lsn_col).orderBy(F.col(ts_col).desc())
     return (
         j.withColumn("_rn", F.row_number().over(w))

@@ -196,9 +196,10 @@ def apply_batch(
         # (globally unique lsn) picked explicitly by the replay paths
         dedup = "argmax"
     stats_frame = None  # persisted winner-stats frame, freed after merge
+    man = getattr(table, "manifest", None)
+    man_dict = man() if callable(man) else None
     if broadcast_keys == "auto":
-        man = getattr(table, "manifest", None)
-        est = man().get("last_n_winners") if callable(man) else None
+        est = (man_dict or {}).get("last_n_winners")
         per_row = (
             BROADCAST_LSN_BYTES if dedup == "argmax_lsn" else BROADCAST_KEY_BYTES
         )
@@ -242,17 +243,29 @@ def apply_batch(
         clustered = True
     elif dedup == "argmax_lsn":
         # WAL contract (globally unique lsn): single-long broadcast
-        # join-back. NOT marked clustered: writing partitionBy(bucket)
-        # straight from the tie-break's partitions fans out to
-        # (partitions × buckets) small files, and the measured per-file
-        # writer overhead (~20 ms × 1024 files at 1 core) costs more
-        # than the ~winner-sized bucket exchange it would save — the
-        # repartitioned write keeps exactly one well-sized file per
-        # bucket (guide §6 small-files rule)
+        # join-back. When the table's bucket layout is known, the
+        # tie-break clusters by the BUCKET expression — the exchange
+        # the bucketed write needs anyway — so the winners' payload
+        # crosses one exchange + one sort end-to-end instead of two
+        # (guide §2.4; see lww_dedup_argmax_lsn). Unlike the earlier
+        # rejected clustered=True attempt (dedup partitions keyed by
+        # lsn → partitions × buckets small files), partitioning BY the
+        # bucket value maps each bucket wholly to one task, so the
+        # write still produces exactly one file per bucket.
+        cluster_expr = None
+        n_buckets = (man_dict or {}).get("n_buckets")
+        if n_buckets:
+            from ..sources.lake import BUCKET_COL, bucket_expr
+
+            cluster_expr = bucket_expr(key_cols[0], n_buckets)
         winners = lww_dedup_argmax_lsn(
             batch, key_cols, payload, carry_stats=bool(stats),
             winner_stats=stats_frame, broadcast_keys=broadcast_keys,
+            cluster_expr=cluster_expr,
+            cluster_col=BUCKET_COL if cluster_expr is not None else "_bucket",
+            cluster_partitions=n_buckets,
         )
+        clustered = cluster_expr is not None
     elif dedup == "argmax":
         # carry_stats folds batch-size/lsn-range counters into the same
         # aggregation pass — no second scan of the batch for lineage

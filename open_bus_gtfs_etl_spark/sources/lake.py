@@ -500,7 +500,17 @@ class SnapshotParquetTable:
         value_cols = [c for c in user_cols if c not in key_cols]
         types = {f.name: f.dataType for f in self.stored_schema().fields}
 
-        src = winners.withColumn(BUCKET_COL, bucket_expr(key_cols[0], n_buckets))
+        # a winners frame that already carries BUCKET_COL (the bucket-
+        # clustered argmax tie-break) keeps its attribute: recomputing
+        # the expression would discard the partitioning/ordering
+        # metadata the clustered write path relies on
+        src = (
+            winners
+            if BUCKET_COL in winners.columns
+            else winners.withColumn(
+                BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
+            )
+        )
         from pyspark import StorageLevel
         from pyspark.sql import Observation
 
@@ -807,9 +817,14 @@ class SnapshotParquetTable:
                 )
             else:
                 cols.append(F.lit(None).cast(types[name]).alias(name))
-        delta = winners.select(*cols).withColumn(
-            BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
-        )
+        if BUCKET_COL in winners.columns:
+            # keep the existing attribute (partitioning/ordering
+            # metadata) from the bucket-clustered tie-break
+            delta = winners.select(*cols, F.col(BUCKET_COL))
+        else:
+            delta = winners.select(*cols).withColumn(
+                BUCKET_COL, bucket_expr(key_cols[0], n_buckets)
+            )
 
         obs = Observation()
         exprs = [
