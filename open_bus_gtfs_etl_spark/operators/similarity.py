@@ -250,27 +250,65 @@ def embedding_near_dup_pairs(
     decimals AFTER the threshold filter.
     """
     cents = ivf_centroids(dim, n_centroids=n_centroids)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        _to_double(F.col(vec_col)).alias("v"),
-        F.explode(assign_centroids_topn(vec_col, cents, n_probe)).alias("cid"),
-    )
+    # the L2 norm is a per-VECTOR quantity: compute it once per
+    # (vector, probe) row here instead of twice per candidate PAIR in
+    # the join output (guide §1.2 — don't compute things you throw
+    # away; the norms were ~2/3 of the per-pair flops). Same fold, same
+    # operands → bit-identical doubles. The full assignment array
+    # (``cids``, n_probe ints) rides along so a pair sharing BOTH
+    # probed buckets is emitted from its MINIMUM shared bucket only —
+    # each candidate pair is produced exactly once, halving the cosine
+    # evaluations the old post-hoc ``distinct`` paid for.
+    base = _probe_base(df, cents, n_probe, id_col, vec_col)
     a, b = base.alias("a"), base.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (
-        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
             b,
-            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.id") < F.col("b.id"))
+            & _min_shared_bucket(),
         )
-        .where(cos > F.lit(threshold))
+        # compute the cosine ONCE into a column, then filter/round on
+        # the attribute — the previous where(cos)+select(round(cos))
+        # form evaluated the full fold twice for every surviving pair
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cos, 6).alias("cos_sim"),
+            cos.alias("_cos"),
         )
+        .where(F.col("_cos") > F.lit(threshold))
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cos_sim"))
+        # pairs are unique by construction now; kept because the oracle
+        # is SELECT DISTINCT and the post-threshold set is tiny
         .distinct()
+    )
+
+
+def _probe_base(df, cents, n_probe, id_col, vec_col):
+    """(id, v, cids, cid, nrm) — one row per (vector, probed bucket),
+    carrying the full probe set and the precomputed L2 norm."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            _to_double(F.col(vec_col)).alias("v"),
+            assign_centroids_topn(vec_col, cents, n_probe).alias("cids"),
+        )
+        .withColumn("cid", F.explode("cids"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+
+
+def _min_shared_bucket() -> F.Column:
+    """Join predicate: this bucket is the smallest bucket the two sides
+    share — the canonical emission point, so a double-bucket pair joins
+    exactly once instead of being collapsed by a later distinct. The
+    probe arrays are n_probe ints, so the intersect is O(1) against
+    the 64-dim cosine it gates."""
+    return F.col("a.cid") == F.array_min(
+        F.array_intersect(F.col("a.cids"), F.col("b.cids"))
     )
 
 
@@ -305,26 +343,27 @@ def knn_graph(
     from pyspark.sql import Window as W
 
     cents = ivf_centroids(dim, n_centroids=n_centroids)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        _to_double(F.col(vec_col)).alias("v"),
-        F.explode(assign_centroids_topn(vec_col, cents, n_probe)).alias("cid"),
-    )
+    # per-vector norm computed once per (vector, probe) row, not twice
+    # per candidate pair; dot unrolled for the known dim — same IEEE
+    # fold order, bit-identical; min-shared-bucket emission makes each
+    # (src, dst) candidate unique by construction, so the old distinct
+    # (a full shuffle of every candidate row) is gone and the cosine
+    # runs once per pair instead of once per shared bucket
+    # (see embedding_near_dup_pairs)
+    base = _probe_base(df, cents, n_probe, id_col, vec_col)
     a, b = base.alias("a"), base.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (
-        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("src"),
-            F.col("b.id").alias("dst"),
-            cos.alias("_cos"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.id") != F.col("b.id"))
+        & _min_shared_bucket(),
+    ).select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+        cos.alias("_cos"),
     )
     rn = F.row_number().over(
         W.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
