@@ -1,10 +1,14 @@
-"""The bench pregen-WAL cache must be impossible to poison: a cached
-WAL is accepted only when its recipe token matches the exact generation
-parameters AND the current genlog source md5, and every segment passes
-the producer-manifest completeness gate. Anything else → fresh
-generation (bench.py `_valid_pregen`). These gates are what make
-"reuse the deterministic input" pure caching rather than a benchmark
-integrity risk.
+"""The bench pregen-WAL cache gates against drift and incompleteness:
+a cached WAL is accepted only when its recipe token matches the exact
+generation parameters AND the current genlog source md5, and every
+segment passes the producer-manifest completeness gate. Anything else
+→ fresh generation (bench.py `_valid_pregen`). The gates catch stale
+recipes, generator changes, and truncated/missing segments — they are
+NOT tamper-proofing (the manifest checks footer row counts, not
+content checksums, so a same-rowcount content edit would pass); the
+threat model is accidental staleness, which is what makes "reuse the
+deterministic input" pure caching rather than a benchmark integrity
+risk.
 """
 
 from __future__ import annotations
