@@ -67,7 +67,20 @@ def main() -> None:
         # the dedicated replay-job profile, mirrored in
         # jobs/replay_job.py.
         extra_conf={"spark.ui.showConsoleProgress": "false",
-                    "spark.sql.adaptive.enabled": "false"},
+                    "spark.sql.adaptive.enabled": "false",
+                    # parquet dictionary encoding off for the replay
+                    # profile: the transcript payload is high-entropy
+                    # ~1KB text, so every column chunk's dictionary
+                    # fills and falls back after pure wasted hashing +
+                    # allocation — measured at 64M events: 4-core apply
+                    # 62.6->49.3 s, 1-core 185.0->175.4 s, output size
+                    # unchanged (384->386 MB). The allocation churn
+                    # scales WORSE than linearly (GC contention), so
+                    # removing it also lifts 1->4 pair efficiency.
+                    # Mirrored in jobs/replay_job.py; general sessions
+                    # keep the default (dictionaries win on
+                    # low-cardinality tables).
+                    "spark.hadoop.parquet.enable.dictionary": "false"},
     )
     spark.range(1000).count()
     _phase("session", t0)

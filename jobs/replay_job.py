@@ -59,7 +59,12 @@ def main() -> None:
     # batch (see bench/replay_once.py)
     spark = get_spark(
         app_name="cdc_replay",
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={"spark.sql.adaptive.enabled": "false",
+                    # high-entropy text payload: dictionary encoding is
+                    # pure fill-and-fall-back waste with GC contention
+                    # at high parallelism (measured in bench/replay_once
+                    # .py — same profile); output size unchanged
+                    "spark.hadoop.parquet.enable.dictionary": "false"},
     )
 
     if args.create:

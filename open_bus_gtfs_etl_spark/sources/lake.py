@@ -423,6 +423,7 @@ class SnapshotParquetTable:
         writer: str = "default",
         discovery: str = "auto",
         clustered: bool = False,
+        src_stats: dict | None = None,
     ) -> dict:
         """Copy-on-write MERGE of a pre-deduplicated batch of winners.
 
@@ -492,7 +493,9 @@ class SnapshotParquetTable:
             }
 
         if m.get("mode") == "mor":
-            return self._merge_mor(winners, batch_id, m, stats, writer, clustered)
+            return self._merge_mor(
+                winners, batch_id, m, stats, writer, clustered, src_stats
+            )
 
         key_cols = m["key_cols"]
         user_cols = m["user_cols"]
@@ -551,8 +554,8 @@ class SnapshotParquetTable:
                 StorageLevel.MEMORY_AND_DISK
             )
             src.count()  # materialize cache + fire the observation
-            src_stats = obs_src.get
-            touched = sorted(src_stats["touched"])
+            obs_stats = obs_src.get
+            touched = sorted(obs_stats["touched"])
             tgt = self.read_stored(buckets=touched)
         else:
             # one-job path: the observation fires inside the write job,
@@ -688,7 +691,7 @@ class SnapshotParquetTable:
             .parquet(out_path)
         )
         if not exact:
-            src_stats = obs_src.get  # fired inside the write job
+            obs_stats = obs_src.get  # fired inside the write job
 
         stat = {"skipped_fenced": False, "version": new_version}
         if stats:
@@ -701,7 +704,11 @@ class SnapshotParquetTable:
                 rows_delete_noop=int(counts["delete_noop"] or 0),
             )
             if carry:
-                stat["n_source_rows"] = int(src_stats["n_source_rows"] or 0)
+                stat["n_source_rows"] = int(obs_stats["n_source_rows"] or 0)
+                stat["lsn_min"] = obs_stats["lsn_min"]
+                stat["lsn_max"] = obs_stats["lsn_max"]
+            elif src_stats is not None:
+                stat["n_source_rows"] = src_stats["n_source_rows"]
                 stat["lsn_min"] = src_stats["lsn_min"]
                 stat["lsn_max"] = src_stats["lsn_max"]
         if stats == "per_bucket":
@@ -735,10 +742,12 @@ class SnapshotParquetTable:
         if batch_id is not None:
             fences[writer] = batch_id
         lsn_max = m.get("lsn_max")
-        if carry and src_stats["lsn_max"] is not None:
-            lsn_max = max(
-                x for x in (lsn_max, src_stats["lsn_max"]) if x is not None
-            )
+        new_lsn_max = (
+            obs_stats["lsn_max"] if carry
+            else (src_stats or {}).get("lsn_max")
+        )
+        if new_lsn_max is not None:
+            lsn_max = max(x for x in (lsn_max, new_lsn_max) if x is not None)
         new_manifest = {
             **m,
             "version": new_version,
@@ -749,7 +758,7 @@ class SnapshotParquetTable:
             ),
             "fences": fences,
             "lsn_max": lsn_max,
-            "last_n_winners": int(src_stats["n_winners"] or 0),
+            "last_n_winners": int(obs_stats["n_winners"] or 0),
             "buckets": new_buckets,
             "parent": m["version"],
         }
@@ -766,6 +775,7 @@ class SnapshotParquetTable:
         stats: bool | str,
         writer: str,
         clustered: bool = False,
+        src_stats: dict | None = None,
     ) -> dict:
         """Merge-on-read apply: append the deduped winners as a DELTA,
         one directory per touched bucket — ONE Spark job, no read of the
@@ -869,6 +879,10 @@ class SnapshotParquetTable:
                 stat["n_source_rows"] = int(got["n_source_rows"] or 0)
                 stat["lsn_min"] = got["lsn_min"]
                 stat["lsn_max"] = got["lsn_max"]
+            elif src_stats is not None:
+                stat["n_source_rows"] = src_stats["n_source_rows"]
+                stat["lsn_min"] = src_stats["lsn_min"]
+                stat["lsn_max"] = src_stats["lsn_max"]
 
         fences = dict(m.get("fences", {}))
         if batch_id is not None:
@@ -879,8 +893,11 @@ class SnapshotParquetTable:
                 os.path.join(rel_data, f"{BUCKET_COL}={b}")
             )
         lsn_max = m.get("lsn_max")
-        if carry and got["lsn_max"] is not None:
-            lsn_max = max(x for x in (lsn_max, got["lsn_max"]) if x is not None)
+        mor_lsn_max = (
+            got["lsn_max"] if carry else (src_stats or {}).get("lsn_max")
+        )
+        if mor_lsn_max is not None:
+            lsn_max = max(x for x in (lsn_max, mor_lsn_max) if x is not None)
         new_manifest = {
             **m,
             "version": new_version,
