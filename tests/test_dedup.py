@@ -86,3 +86,58 @@ def test_delete_kept_in_winner(spark):
         for r in lww_dedup_agg(df, KEYS, PAYLOAD).collect()
     }
     assert got == {("c-1", 0): "delete", ("c-2", 0): "update"}
+
+
+def test_argmax_lsn_cluster_matches_window_form(spark):
+    """The bucket-clustered argmax_lsn tie-break (round-6 fused plan)
+    returns the same winner set as the per-lsn rank form and as the
+    reference window dedup, and its output bucket column matches the
+    bucket expression."""
+    from pyspark.sql import functions as F
+
+    from open_bus_gtfs_etl_spark.operators.dedup import lww_dedup_argmax_lsn
+    from open_bus_gtfs_etl_spark.sources.lake import BUCKET_COL, bucket_expr
+
+    df = generate_events(spark, 5000, n_conv=50, skew_s=1.4, seed=3, dup_rate=0.05)
+    plain = lww_dedup_argmax_lsn(df, KEYS, PAYLOAD)
+    clustered = lww_dedup_argmax_lsn(
+        df, KEYS, PAYLOAD,
+        cluster_expr=bucket_expr(KEYS[0], 16), cluster_col=BUCKET_COL,
+        cluster_partitions=16,
+    )
+    w = _norm(lww_dedup_window(df, KEYS).select(*KEYS, *PAYLOAD).collect())
+    assert _norm(plain.collect()) == w
+    rows = clustered.collect()
+    assert _norm(rows) == w
+    # the carried bucket column is the bucket expression of the key
+    recomputed = clustered.withColumn(
+        "_expect", bucket_expr(KEYS[0], 16)
+    ).where(F.col(BUCKET_COL) != F.col("_expect"))
+    assert recomputed.count() == 0
+
+
+def test_argmax_lsn_cluster_plan_single_payload_exchange(spark):
+    """Plan pin for the fused tie-break: the window rides the bucket
+    repartition (no exchange of its own), so between the broadcast
+    join-back and the output there is exactly ONE hash-partitioning
+    exchange, and no WindowGroupLimit (the lag form must not trigger
+    the rank-limit rewrite, whose partial phase re-sorts the payload
+    map-side)."""
+    from open_bus_gtfs_etl_spark.operators.dedup import lww_dedup_argmax_lsn
+    from open_bus_gtfs_etl_spark.sources.lake import BUCKET_COL, bucket_expr
+
+    df = generate_events(spark, 2000, n_conv=50, seed=5, dup_rate=0.05)
+    out = lww_dedup_argmax_lsn(
+        df, KEYS, PAYLOAD,
+        cluster_expr=bucket_expr(KEYS[0], 8), cluster_col=BUCKET_COL,
+        cluster_partitions=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange carries the payload (the bucket repartition
+    # the write reuses); the second hashpartitioning in the plan is the
+    # winner-stats aggregation's keys+longs shuffle below the broadcast
+    assert plan.count("Exchange hashpartitioning(_bucket") == 1, plan
+    assert "hashpartitioning(lsn" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "WindowGroupLimit" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
